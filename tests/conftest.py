@@ -1,0 +1,33 @@
+"""Test configuration: force an 8-device virtual CPU mesh before JAX loads,
+so multi-chip sharding tests run anywhere (SURVEY.md §4 implication)."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pathlib
+
+import pytest
+
+REFERENCE = pathlib.Path("/root/reference")
+
+
+@pytest.fixture(scope="session")
+def reference_root() -> pathlib.Path:
+    if not REFERENCE.exists():
+        pytest.skip("reference fixture data not mounted")
+    return REFERENCE
+
+
+@pytest.fixture(scope="session")
+def data_root(reference_root) -> pathlib.Path:
+    return reference_root / "data"
+
+
+@pytest.fixture(scope="session")
+def results_root(reference_root) -> pathlib.Path:
+    return reference_root / "results"

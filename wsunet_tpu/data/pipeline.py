@@ -1,0 +1,114 @@
+"""Batched host-side input pipeline.
+
+Replaces the reference's joblib per-image fan-out (src/fabrika.py:92-100)
+with thread-parallel decode into contiguous batches.  Batches are padded to
+a fixed batch size (static shapes for jit) with a validity mask, so the
+same compiled program serves every tail batch.
+
+When the native C++ loader (wsunet_tpu.io.native, libpng-based) is built it
+is used for decode; otherwise we fall back to PIL threads.
+"""
+
+import concurrent.futures as _futures
+import dataclasses
+import pathlib
+import typing
+
+import numpy as np
+
+from ..io.imread import imread_gray_u8
+from .catalog import resolve_path
+
+
+@dataclasses.dataclass
+class Batch:
+    """One padded batch of decoded images.
+
+    pixels: [B, H, W] uint8 luminance
+    mask:   [B] bool — True for real rows, False for padding
+    rows:   the catalog rows backing the real entries (padding repeats row 0)
+    """
+
+    pixels: np.ndarray
+    mask: np.ndarray
+    rows: "typing.Any"
+
+
+def _decode_many(paths, reader, threads: int) -> typing.List[np.ndarray]:
+    native = _get_native()
+    if native is not None and reader is imread_gray_u8:
+        out = native.decode_gray_batch([str(p) for p in paths], threads)
+        if out is not None:
+            return out
+    if threads <= 1 or len(paths) <= 1:
+        return [reader(p) for p in paths]
+    with _futures.ThreadPoolExecutor(max_workers=threads) as pool:
+        return list(pool.map(reader, paths))
+
+
+_NATIVE = None
+_NATIVE_TRIED = False
+
+
+def _get_native():
+    global _NATIVE, _NATIVE_TRIED
+    if not _NATIVE_TRIED:
+        _NATIVE_TRIED = True
+        try:
+            from ..io import native as _native_mod
+            if _native_mod.available():
+                _NATIVE = _native_mod
+        except Exception:
+            _NATIVE = None
+    return _NATIVE
+
+
+def load_images(
+    root: pathlib.Path,
+    names: typing.Sequence[str],
+    reader: typing.Callable = imread_gray_u8,
+    threads: int = 8,
+) -> np.ndarray:
+    """Decode ``names`` under ``root`` into one stacked array."""
+    paths = [resolve_path(root, n) for n in names]
+    return np.stack(_decode_many(paths, reader, threads))
+
+
+def iterate_batches(
+    root: pathlib.Path,
+    df,
+    batch_size: int,
+    reader: typing.Callable = imread_gray_u8,
+    threads: int = 8,
+    prefetch: int = 1,
+) -> typing.Iterator[Batch]:
+    """Yield fixed-size padded Batches over catalog rows, with background
+    decode of the next batch overlapping device compute on the current one."""
+    rows = df.reset_index(drop=True)
+    n = len(rows)
+    if n == 0:
+        return
+
+    def make(start: int) -> Batch:
+        stop = min(start + batch_size, n)
+        chunk = rows.iloc[start:stop]
+        names = list(chunk["name"])
+        pixels = load_images(root, names, reader=reader, threads=threads)
+        pad = batch_size - len(names)
+        mask = np.ones(batch_size, dtype=bool)
+        if pad:
+            pixels = np.concatenate(
+                [pixels, np.repeat(pixels[:1], pad, axis=0)], axis=0)
+            mask[len(names):] = False
+        return Batch(pixels=pixels, mask=mask, rows=chunk)
+
+    starts = list(range(0, n, batch_size))
+    with _futures.ThreadPoolExecutor(max_workers=max(1, prefetch)) as pool:
+        pending = [pool.submit(make, s) for s in starts[:1 + prefetch]]
+        next_idx = len(pending)
+        while pending:
+            fut = pending.pop(0)
+            yield fut.result()
+            if next_idx < len(starts):
+                pending.append(pool.submit(make, starts[next_idx]))
+                next_idx += 1

@@ -1,0 +1,132 @@
+"""EfficientNet-B0 binary stego detector (Flax/NHWC, own implementation).
+
+The reference pulls ``timm.create_model('efficientnet_b0')`` plus ImageNet
+hub weights (src/detector/models.py:14-66).  Hub downloads are neither
+possible nor desirable here; this is a from-scratch B0 (Tan & Le 2019)
+with the two reference-specific switches:
+
+- ``no_stem_stride``: stem conv stride (1,1) instead of (2,2)
+  (detector/models.py:38-39) — keeps full 512x512 resolution into the
+  first stage, which matters for +-1 LSB signals.
+- arbitrary ``in_channels`` (1 for grayscale, 2 with the LSBr-reference
+  plane appended by the transform; detector/evaluate.py:195).
+
+Layout NHWC; BatchNorm carries running stats in the ``batch_stats``
+collection.  ``compute_dtype=bfloat16`` is safe for this classifier.
+"""
+
+import typing
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+# (expand_ratio, channels, repeats, stride, kernel)
+_B0_STAGES = [
+    (1, 16, 1, 1, 3),
+    (6, 24, 2, 2, 3),
+    (6, 40, 2, 2, 5),
+    (6, 80, 3, 2, 3),
+    (6, 112, 3, 1, 5),
+    (6, 192, 4, 2, 5),
+    (6, 320, 1, 1, 3),
+]
+
+
+class _SqueezeExcite(nn.Module):
+    reduced: int
+    dtype: typing.Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        s = jnp.mean(x, axis=(1, 2), keepdims=True)
+        s = nn.Conv(self.reduced, (1, 1), dtype=self.dtype, name="reduce")(s)
+        s = nn.silu(s)
+        s = nn.Conv(x.shape[-1], (1, 1), dtype=self.dtype, name="expand")(s)
+        return x * nn.sigmoid(s)
+
+
+class _MBConv(nn.Module):
+    in_ch: int
+    out_ch: int
+    expand_ratio: int
+    stride: int
+    kernel: int
+    se_ratio: float = 0.25
+    dtype: typing.Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm = lambda name: nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-3,
+            dtype=self.dtype, name=name)
+        h = x
+        mid = self.in_ch * self.expand_ratio
+        if self.expand_ratio != 1:
+            h = nn.Conv(mid, (1, 1), use_bias=False, dtype=self.dtype,
+                        name="expand_conv")(h)
+            h = nn.silu(norm("expand_bn")(h))
+        h = nn.Conv(mid, (self.kernel, self.kernel),
+                    strides=(self.stride, self.stride), padding="SAME",
+                    feature_group_count=mid, use_bias=False,
+                    dtype=self.dtype, name="dw_conv")(h)
+        h = nn.silu(norm("dw_bn")(h))
+        h = _SqueezeExcite(max(1, int(self.in_ch * self.se_ratio)),
+                           dtype=self.dtype, name="se")(h)
+        h = nn.Conv(self.out_ch, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="project_conv")(h)
+        h = norm("project_bn")(h)
+        if self.stride == 1 and self.in_ch == self.out_ch:
+            h = h + x
+        return h
+
+
+class EfficientNetB0(nn.Module):
+    num_classes: int = 2
+    in_channels: int = 1
+    no_stem_stride: bool = False
+    drop_rate: float = 0.2
+    compute_dtype: typing.Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dt = self.compute_dtype
+        x = x.astype(dt)
+        stem_stride = (1, 1) if self.no_stem_stride else (2, 2)
+        h = nn.Conv(32, (3, 3), strides=stem_stride, padding="SAME",
+                    use_bias=False, dtype=dt, name="conv_stem")(x)
+        h = nn.silu(nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                 epsilon=1e-3, dtype=dt, name="bn_stem")(h))
+        in_ch = 32
+        for si, (t, c, n, s, k) in enumerate(_B0_STAGES):
+            for bi in range(n):
+                h = _MBConv(
+                    in_ch=in_ch, out_ch=c, expand_ratio=t,
+                    stride=s if bi == 0 else 1, kernel=k, dtype=dt,
+                    name=f"stage{si}_block{bi}")(h, train=train)
+                in_ch = c
+        h = nn.Conv(1280, (1, 1), use_bias=False, dtype=dt, name="conv_head")(h)
+        h = nn.silu(nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                 epsilon=1e-3, dtype=dt, name="bn_head")(h))
+        h = jnp.mean(h, axis=(1, 2))
+        h = nn.Dropout(self.drop_rate, deterministic=not train)(h)
+        logits = nn.Dense(self.num_classes, dtype=jnp.float32,
+                          name="classifier")(h.astype(jnp.float32))
+        return logits
+
+
+def get_b0(
+    in_channels: int,
+    num_classes: int = 2,
+    no_stem_stride: bool = False,
+    drop_rate: float = 0.2,
+    compute_dtype=jnp.float32,
+    **_ignored,
+) -> EfficientNetB0:
+    """Factory (parity: src/detector/models.py:14-66, minus hub weights)."""
+    return EfficientNetB0(
+        num_classes=num_classes,
+        in_channels=in_channels,
+        no_stem_stride=no_stem_stride,
+        drop_rate=drop_rate,
+        compute_dtype=compute_dtype,
+    )

@@ -1,0 +1,165 @@
+"""U-Net cover-pixel predictor (Flax/NHWC).
+
+Parity: reference src/unet/model/unet.py:54-199 —
+- encoder: per step, two [3x3 reflect-padded conv + ReLU], then 2x2 maxpool;
+  widths 64 -> 1024, ``nsteps`` in 0..4
+- decoder: 2x2 stride-2 transposed conv (zero "padding" semantics, exactly
+  torch ConvTranspose2d(kernel=2, stride=2)), concat with the encoder skip,
+  then two [3x3 reflect conv + ReLU]
+- head: 1x1 conv + sigmoid
+- ``disable_center`` zeroes the center tap of the very first conv so the
+  predictor cannot copy the pixel it predicts (reference
+  ``disable_center_pixels``, unet.py:196-199).  Implemented as a
+  multiplicative kernel mask, which also zeroes the corresponding gradients.
+- ``UniformDropout`` (unet.py:15-51): Bernoulli-masked pixels are replaced
+  by their KB-filter prediction rather than zeros.
+
+TPU notes: NHWC layout; convs run on the MXU via XLA.  ``compute_dtype``
+may be bfloat16 for inference/training throughput (params stay f32); the
+default is float32 for bit-comparability with the golden CSVs.
+"""
+
+import typing
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+_KB = np.array(
+    [[-1, 2, -1],
+     [2, 0, 2],
+     [-1, 2, -1]], dtype="float32") / 4.0
+
+
+def reflect_pad(x: jnp.ndarray, pad: int = 1) -> jnp.ndarray:
+    return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
+
+
+def kb_predict_nhwc(x: jnp.ndarray) -> jnp.ndarray:
+    """KB-filter prediction with reflect padding, per channel, NHWC."""
+    c = x.shape[-1]
+    k = jnp.asarray(_KB, x.dtype)[:, :, None, None] * jnp.eye(c, dtype=x.dtype)
+    xp = reflect_pad(x, 1)
+    return jax.lax.conv_general_dilated(
+        xp, k, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+class UniformDropout(nn.Module):
+    """Replace dropped pixels with their KB prediction (reference
+    UniformDropout, unet.py:15-51).  Active only when ``deterministic`` is
+    False; the mask is shared across channels."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if deterministic or self.rate == 0.0:
+            return x
+        rng = self.make_rng("dropout")
+        keep = jax.random.bernoulli(
+            rng, p=1.0 - self.rate, shape=(x.shape[0], x.shape[1], x.shape[2], 1))
+        keep = keep.astype(x.dtype)
+        return x * keep + kb_predict_nhwc(x) * (1.0 - keep)
+
+
+class _ConvBlock(nn.Module):
+    """Two reflect-padded 3x3 convs with ReLU."""
+
+    features: int
+    dtype: typing.Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(2):
+            x = nn.Conv(self.features, (3, 3), padding="VALID",
+                        dtype=self.dtype, name=f"conv{i + 1}")(reflect_pad(x))
+            x = nn.relu(x)
+        return x
+
+
+class UNet(nn.Module):
+    """nsteps-deep U-Net, sigmoid head, optional center-tap disabling."""
+
+    in_channels: int = 1
+    out_channels: int = 1
+    nsteps: int = 2
+    drop_rate: typing.Optional[float] = None
+    disable_center: bool = False
+    compute_dtype: typing.Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        assert 0 <= self.nsteps <= 4
+        widths = [64, 128, 256, 512, 1024]
+        in_dtype = x.dtype
+        x = x.astype(self.compute_dtype)
+
+        if self.drop_rate is not None:
+            x = UniformDropout(self.drop_rate, name="input_dropout")(
+                x, deterministic=deterministic)
+
+        # --- first encoder block; e11 is explicit so the center tap can be
+        # masked out (masking the kernel also zeroes its gradient, matching
+        # the reference's weight+grad zeroing in disable_center_pixels).
+        k11 = self.param(
+            "e1_conv1_kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, self.in_channels, widths[0]), jnp.float32)
+        b11 = self.param("e1_conv1_bias", nn.initializers.zeros,
+                         (widths[0],), jnp.float32)
+        if self.disable_center:
+            mask = np.ones((3, 3, 1, 1), dtype="float32")
+            mask[1, 1, 0, 0] = 0.0
+            k11 = k11 * jnp.asarray(mask, k11.dtype)
+        h = jax.lax.conv_general_dilated(
+            reflect_pad(x), k11.astype(self.compute_dtype), (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + b11.astype(self.compute_dtype)
+        h = nn.relu(h)
+        h = nn.Conv(widths[0], (3, 3), padding="VALID",
+                    dtype=self.compute_dtype, name="e1_conv2")(reflect_pad(h))
+        h = nn.relu(h)
+
+        skips = [h]
+        for step in range(1, self.nsteps + 1):
+            h = nn.max_pool(h, (2, 2), strides=(2, 2))
+            h = _ConvBlock(widths[step], dtype=self.compute_dtype,
+                           name=f"e{step + 1}")(h)
+            skips.append(h)
+
+        for step in range(self.nsteps, 0, -1):
+            h = nn.ConvTranspose(widths[step - 1], (2, 2), strides=(2, 2),
+                                 padding="VALID", dtype=self.compute_dtype,
+                                 name=f"up{step}")(h)
+            h = jnp.concatenate([h, skips[step - 1]], axis=-1)
+            h = _ConvBlock(widths[step - 1], dtype=self.compute_dtype,
+                           name=f"d{step}")(h)
+
+        out = nn.Conv(self.out_channels, (1, 1), dtype=self.compute_dtype,
+                      name="outconv")(h)
+        return nn.sigmoid(out).astype(in_dtype)
+
+
+def get_model(
+    name: str,
+    in_channels: int = 1,
+    out_channels: int = 1,
+    drop_rate: float = None,
+    disable_center: bool = False,
+    compute_dtype=jnp.float32,
+) -> UNet:
+    """Model factory (parity: src/unet/model/__init__.py:8-49 — names are
+    ``unet_<nsteps>``)."""
+    if not name.lower().startswith("unet"):
+        raise NotImplementedError(name)
+    nsteps = int(name.split("_")[1])
+    return UNet(
+        in_channels=in_channels,
+        out_channels=out_channels,
+        nsteps=nsteps,
+        drop_rate=drop_rate,
+        disable_center=disable_center,
+        compute_dtype=compute_dtype,
+    )
