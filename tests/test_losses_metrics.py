@@ -1,0 +1,82 @@
+"""Losses vs torch-reference oracle formulas; meters vs sklearn."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from wsunet_tpu.detect import metrics as M
+from wsunet_tpu.train import get_loss, l1ws_loss, ws_loss
+
+
+def test_ws_loss_oracle():
+    """WSLoss parity (reference _defs/losses.py:45-89): x255, round->xor,
+    uniform 1/(HWC) weights, per-image sum, relu, |beta_hat - alpha/2|."""
+    rng = np.random.default_rng(0)
+    inputs = rng.integers(0, 256, (3, 16, 16, 1)).astype("float32") / 255.0
+    outputs = np.clip(inputs + rng.normal(scale=0.01, size=inputs.shape), 0, 1).astype("float32")
+    alphas = np.array([0.0, 0.2, 0.4], dtype="float32")
+
+    x = inputs * 255.0
+    y = outputs * 255.0
+    x_bar = (np.round(x).astype(int) ^ 1).astype("float32")
+    w = 1.0 / (16 * 16 * 1)
+    bh = np.maximum((w * (x - x_bar) * (x - y)).sum(axis=(1, 2, 3)), 0.0)
+    want = np.mean(np.abs(bh - alphas / 2.0))
+
+    got = ws_loss(jnp.asarray(outputs), jnp.asarray(inputs),
+                  jnp.asarray(inputs), jnp.asarray(alphas))
+    np.testing.assert_allclose(float(got), want, rtol=1e-5)
+
+
+def test_l1ws_is_sum():
+    rng = np.random.default_rng(1)
+    inputs = rng.uniform(size=(2, 8, 8, 1)).astype("float32")
+    outputs = rng.uniform(size=(2, 8, 8, 1)).astype("float32")
+    covers = rng.uniform(size=(2, 8, 8, 1)).astype("float32")
+    alphas = np.array([0.4, 0.4], dtype="float32")
+    l1 = get_loss("l1")(jnp.asarray(outputs), jnp.asarray(covers))
+    ws = ws_loss(jnp.asarray(outputs), jnp.asarray(covers),
+                 jnp.asarray(inputs), jnp.asarray(alphas))
+    both = l1ws_loss(jnp.asarray(outputs), jnp.asarray(covers),
+                     jnp.asarray(inputs), jnp.asarray(alphas))
+    np.testing.assert_allclose(float(both), float(l1) + float(ws), rtol=1e-6)
+
+
+def test_unknown_loss_raises():
+    with pytest.raises(NotImplementedError):
+        get_loss("focal")
+
+
+def test_pe_meter():
+    m = M.PEMeter()
+    m.update(np.array([0, 0, 1, 1]), np.array([0.1, 0.6, 0.7, 0.9]))
+    # threshold between .6 and .7: fpr=.5,tpr=1 -> P=.25 ; between .1/.6:
+    # fpr .5 tpr 1 ... min positive P
+    assert 0 < m.avg <= 0.5
+
+
+def test_auc_meter_matches_sklearn():
+    from sklearn.metrics import roc_auc_score
+    rng = np.random.default_rng(2)
+    y = rng.integers(0, 2, 50)
+    s = rng.uniform(size=50)
+    m = M.AUCMeter()
+    m.update(y[:25], s[:25])
+    m.update(y[25:], s[25:])
+    np.testing.assert_allclose(m.avg, roc_auc_score(y, s))
+
+
+def test_ws_meter_tracks_beta():
+    m = M.WSMeter()
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 256, (2, 32, 32, 1)).astype("float32") / 255.0
+    m.update(x, x.copy(), alphas=np.array([0.0, 0.0]))
+    assert m.avg == pytest.approx(0.0, abs=1e-6)
+
+
+def test_progress_meter_format():
+    lm = M.LossMeter()
+    lm.update(0.5, 2)
+    p = M.ProgressMeter(10, [lm], prefix="Epoch: [0]")
+    assert "loss" in p.to_str(3)

@@ -1,0 +1,99 @@
+"""End-to-end detection parity: WS sweep -> produce_roc vs golden CSVs.
+
+Note on reference semantics discovered while pinning these tests: the
+reference ROC pools ALL swept alphas {.1,.05,.01} into one curve per model
+(ws/roc.py:374-395 appends every alpha, produce_roc groups by
+(stego_method, model_name) only) — so "auc_0.01.csv" is a pooled-alpha
+table.  Also, the golden b0.csv was produced from a different model state
+than roc_0.01.csv (an exact transliteration of the reference threshold
+loop on b0.csv scores gives AUC 0.72, not the golden 0.88), so B0 parity
+can only validate the ROC *math*, not the scores.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from wsunet_tpu.detect import produce_roc
+from wsunet_tpu.ws import ws_run
+
+ALPHAS = [0.1, 0.05, 0.01]
+
+
+@pytest.fixture(scope="module")
+def ws_roc(data_root):
+    frames = []
+    for stego_method in [None, "LSBR"]:
+        for alpha in (ALPHAS if stego_method else [None]):
+            for model_name in ["AVG", "KB"]:
+                frames.append(ws_run(
+                    input_dir=data_root,
+                    stego_method=stego_method,
+                    alpha=alpha,
+                    model_name=model_name,
+                    weighted=0,
+                    correct_bias=False,
+                ))
+    res = pd.concat(frames).reset_index(drop=True)
+    res["stego_method"] = res["stego_method"].fillna("Cover")
+    res["alpha"] = res["alpha"].fillna(0.0)
+    return produce_roc(res)
+
+
+def test_ws_filter_auc_matches_golden(ws_roc, results_root):
+    """WS-KB and WS-AVG AUC/P_E/operating points equal
+    results/detection/auc_0.01.csv (weight-free path, bit-comparable)."""
+    golden = pd.read_csv(results_root / "detection" / "auc_0.01.csv")
+    cols = ["auc", "p_e", "tau0", "fpr_tau0", "tpr_tau0", "fpr_50", "tpr_50"]
+    for model_name in ["AVG", "KB"]:
+        got = ws_roc[ws_roc.model_name == model_name][cols].drop_duplicates().iloc[0]
+        want = golden[golden.model_name == model_name].iloc[0]
+        for c in cols:
+            np.testing.assert_allclose(got[c], want[c], atol=1e-9, err_msg=f"{model_name}:{c}")
+
+
+def test_ws_filter_curves_match_golden(ws_roc, results_root):
+    """The full 501-threshold tpr/fpr curves bit-match
+    results/detection/roc_0.01.csv."""
+    golden = pd.read_csv(results_root / "detection" / "roc_0.01.csv")
+    for model_name in ["AVG", "KB"]:
+        ours = ws_roc[ws_roc.model_name == model_name].sort_values("tau")
+        np.testing.assert_allclose(
+            ours["tpr"].to_numpy(),
+            golden[f"tpr_LSBR_{model_name}"].to_numpy(), atol=1e-12)
+        np.testing.assert_allclose(
+            ours["fpr"].to_numpy(),
+            golden[f"fpr_LSBR_{model_name}"].to_numpy(), atol=1e-12)
+
+
+def test_produce_roc_matches_reference_loop_on_golden_scores(results_root):
+    """produce_roc's vectorized sweep is identical to the reference's
+    python threshold loop (transliterated oracle) on the golden B0 scores."""
+    b0 = pd.read_csv(results_root / "detection" / "b0.csv")
+    b0 = b0[(b0["stego_method"].isna()) |
+            ((b0["stego_method"] == "LSBR") & (b0["alpha"].isin(ALPHAS)))].copy()
+    b0["stego_method"] = b0["stego_method"].fillna("Cover")
+    b0["alpha"] = b0["alpha"].fillna(0.0)
+    b0["model_name"] = "B0_0.01"
+    b0["score"] = b0["output"]
+    roc = produce_roc(b0).sort_values("tau")
+
+    # oracle: reference ws/roc.py:219-246 loop
+    y_hat = b0["score"].to_numpy()
+    y = b0["alpha"].to_numpy()
+    tpr, fpr = [], []
+    for tau in reversed(np.linspace(0, 1, 501, endpoint=True)):
+        TP = np.sum((y_hat > tau) & (y > 0.))
+        FP = np.sum((y_hat > tau) & (y <= 0.))
+        TN = np.sum((y_hat <= tau) & (y <= 0.))
+        FN = np.sum((y_hat <= tau) & (y > 0.))
+        tpr.append(TP / (TP + FN))
+        fpr.append(FP / (FP + TN))
+    tpr, fpr = np.array(tpr)[::-1], np.array(fpr)[::-1]
+    bins = np.diff(fpr[::-1], prepend=fpr[::-1][0])
+    bins = bins / bins.sum()
+    want_auc = np.sum(bins * tpr[::-1])
+
+    np.testing.assert_allclose(roc["tpr"].to_numpy(), tpr, atol=1e-12)
+    np.testing.assert_allclose(roc["fpr"].to_numpy(), fpr, atol=1e-12)
+    np.testing.assert_allclose(roc["auc"].iloc[0], want_auc, atol=1e-12)

@@ -1,0 +1,12 @@
+from .roc import produce_roc
+from .b0_eval import infer_b0, get_b0_detector, load_pretrained_b0, run as b0_run
+from . import metrics
+
+__all__ = [
+    "produce_roc",
+    "infer_b0",
+    "get_b0_detector",
+    "load_pretrained_b0",
+    "b0_run",
+    "metrics",
+]

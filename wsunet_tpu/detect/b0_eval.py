@@ -1,0 +1,127 @@
+"""EfficientNet-B0 detector inference.
+
+Parity: reference src/detector/evaluate.py —
+- ``infer_b0``: timm-style transform (center-crop 512, grayscale, optional
+  LSBr-reference plane, ImageNet green-channel normalization) -> model ->
+  softmax P(stego) (evaluate.py:30-58), batched.
+- ``run``: cover + LSBR + HILLR sweep producing the b0.csv schema
+  (evaluate.py:179-215).
+"""
+
+import pathlib
+
+import numpy as np
+import pandas as pd
+import jax
+import jax.numpy as jnp
+
+from ..data import iterate_batches, precovers, stego_spatial
+from ..data.transforms import center_crop, lsbr_reference, normalize
+from ..models import get_b0
+from ..train.checkpoint import load_checkpoint, load_config
+from ..utils.registry import get_model_name
+
+# ImageNet green-channel moments (evaluate.py:37-38 takes [1:2] of the
+# IMAGENET_DEFAULT_MEAN/STD constants).
+IMAGENET_GREEN_MEAN = 0.456
+IMAGENET_GREEN_STD = 0.224
+
+
+def infer_b0(model, variables, x: jnp.ndarray,
+             use_lsbr_reference: bool = False) -> jnp.ndarray:
+    """[B, H, W] f32 (0..255) -> softmax P(stego) [B]."""
+    xc = center_crop(x[..., None], 512) / 255.0
+    if use_lsbr_reference:
+        xc = lsbr_reference(xc)
+    xc = normalize(xc, IMAGENET_GREEN_MEAN, IMAGENET_GREEN_STD)
+    logits = model.apply(variables, xc, train=False)
+    return jax.nn.softmax(logits, axis=1)[:, 1]
+
+
+def load_pretrained_b0(
+    model_dir: pathlib.Path,
+    model_name: str,
+    compute_dtype=jnp.float32,
+):
+    """Rebuild the B0 from its config.json and restore the best checkpoint
+    (parity: detector/models.py:69-81)."""
+    exp_dir = pathlib.Path(model_dir) / model_name
+    config = load_config(exp_dir)
+    in_channels = 1 if config.get("grayscale", True) else 3
+    in_channels += 3 if config.get("demosaic_oracle") else 0
+    in_channels += 1 if config.get("lsbr_reference") else 0
+    model = get_b0(
+        in_channels=in_channels,
+        no_stem_stride=config.get("no_stem_stride", False),
+        compute_dtype=compute_dtype,
+    )
+    template = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0),
+        jnp.zeros((1, 64, 64, in_channels), jnp.float32))
+    state = load_checkpoint(exp_dir, {
+        "params": template["params"],
+        "batch_stats": template["batch_stats"],
+    }, "best")
+    return model, {"params": state["params"],
+                   "batch_stats": state["batch_stats"]}, config
+
+
+def get_b0_detector(
+    model_dir: pathlib.Path,
+    model_name: str,
+    lsbr_reference: bool = False,
+    **_ignored,
+):
+    """Detector callable [B, H, W] f32 -> scores [B]
+    (parity: detector/evaluate.py:83-97)."""
+    model, variables, _ = load_pretrained_b0(model_dir, model_name)
+
+    @jax.jit
+    def detect(x):
+        return infer_b0(model, variables, x,
+                        use_lsbr_reference=lsbr_reference)
+
+    return detect
+
+
+def _score_frame(root, df, detect, batch_size, threads) -> pd.DataFrame:
+    frames = []
+    for batch in iterate_batches(root, df, batch_size, threads=threads):
+        scores = np.asarray(detect(jnp.asarray(
+            batch.pixels).astype(jnp.float32)))
+        out = batch.rows.copy()
+        out["output"] = scores[: len(out)][batch.mask[: len(out)]]
+        out["prediction"] = out["output"] > 0.5
+        frames.append(out)
+    return pd.concat(frames).reset_index(drop=True)
+
+
+def run(
+    data_path: pathlib.Path,
+    model_dir: pathlib.Path,
+    stego_method: str = "LSBR",
+    eval_methods=("LSBR", "HILLR"),
+    model_name: str = None,
+    no_stem_stride: bool = False,
+    lsbr_reference: bool = False,
+    batch_size: int = 8,
+    threads: int = 8,
+) -> pd.DataFrame:
+    """Score covers + stego sweeps with one trained B0
+    (parity: detector/evaluate.py __main__, results/detection/b0.csv)."""
+    model_dir = pathlib.Path(model_dir)
+    if model_name is None:
+        model_name = get_model_name(
+            model_dir, stego_method,
+            no_stem_stride=no_stem_stride, lsbr_reference=lsbr_reference)
+    detect = get_b0_detector(
+        model_dir / stego_method, model_name, lsbr_reference=lsbr_reference)
+
+    frames = [_score_frame(
+        data_path, precovers(data_path), detect, batch_size, threads)]
+    for sm in eval_methods:
+        df_s = stego_spatial(data_path, stego_method=sm)
+        if len(df_s):
+            frames.append(_score_frame(
+                data_path, df_s, detect, batch_size, threads))
+    return pd.concat(frames).reset_index(drop=True)

@@ -1,0 +1,80 @@
+"""ROC / AUC / P_E builder.
+
+Parity: reference src/ws/roc.py:198-283 — per (stego_method, model_name)
+group: scores are clipped beta_hat (WS detectors) or softmax score (B0
+detectors, identified by 'B0' in the name); labels y = alpha/2 > 0; manual
+501-threshold sweep tau in reversed(linspace(0, 1, 501)); AUC from
+fpr-bin-normalized tpr sums; P_E = min (1 - tpr + fpr)/2; operating points
+at tau0 and tau = 0.5.
+
+The threshold sweep is vectorized (501 x N broadcast instead of a python
+loop) but numerically identical.
+"""
+
+import numpy as np
+import pandas as pd
+
+
+def _roc_curve_manual(y_hat: np.ndarray, y: np.ndarray):
+    taus = np.linspace(0, 1, 501, endpoint=True)[::-1]
+    pos = y > 0.0
+    neg = ~pos
+    above = y_hat[None, :] > taus[:, None]  # [501, N]
+    TP = np.sum(above & pos[None, :], axis=1)
+    FP = np.sum(above & neg[None, :], axis=1)
+    FN = pos.sum() - TP
+    TN = neg.sum() - FP
+    tpr = TP / (TP + FN)
+    fpr = FP / (FP + TN)
+    return taus, tpr, fpr
+
+
+def produce_roc(df_ws: pd.DataFrame) -> pd.DataFrame:
+    """Build per-detector ROC tables from a sweep result frame."""
+    out = []
+    for (stego_method, model_name), _ in df_ws.groupby(
+            ["stego_method", "model_name"]):
+        if stego_method == "Cover":
+            continue
+        df_i = df_ws[df_ws["model_name"] == model_name]
+        df_i = df_i[df_i["stego_method"].isin([stego_method, "Cover"])]
+
+        if "B0" in model_name:
+            y_hat = df_i["score"].to_numpy()
+            y = df_i["alpha"].to_numpy()
+        else:
+            y_hat = np.clip(df_i["beta_hat"].to_numpy(), 0, None)
+            y = df_i["alpha"].to_numpy() / 2
+
+        taus, tpr, fpr = _roc_curve_manual(y_hat, y)
+
+        bins = np.diff(fpr, prepend=fpr[0])
+        bins = bins / bins.sum()
+        auc = np.sum(bins * tpr)
+        tau0_idx = np.argmin((1 - tpr + fpr) / 2)
+        p_e = ((1 - tpr + fpr) / 2)[tau0_idx]
+        # operating point at tau = 0.5
+        pos, neg = y > 0.0, y <= 0.0
+        TP = np.sum((y_hat > .5) & pos)
+        FP = np.sum((y_hat > .5) & neg)
+        TN = np.sum((y_hat <= .5) & neg)
+        FN = np.sum((y_hat <= .5) & pos)
+        fpr50, tpr50 = FP / (FP + TN), TP / (TP + FN)
+
+        label = model_name if "B0" in model_name else f"WS-{model_name}"
+        out.append(pd.DataFrame({
+            "stego_method": stego_method,
+            "model_name": model_name,
+            "tau": taus,
+            "tpr": tpr,
+            "fpr": fpr,
+            "p_e": p_e,
+            "tau0": taus[tau0_idx],
+            "fpr_tau0": fpr[tau0_idx],
+            "tpr_tau0": tpr[tau0_idx],
+            "auc": auc,
+            "fpr_50": fpr50,
+            "tpr_50": tpr50,
+            "label": label,
+        }))
+    return pd.concat(out)

@@ -43,7 +43,8 @@ def kb_predict_nhwc(x: jnp.ndarray) -> jnp.ndarray:
     xp = reflect_pad(x, 1)
     return jax.lax.conv_general_dilated(
         xp, k, (1, 1), "VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST)
 
 
 class UniformDropout(nn.Module):
@@ -69,12 +70,14 @@ class _ConvBlock(nn.Module):
 
     features: int
     dtype: typing.Any = jnp.float32
+    precision: typing.Any = jax.lax.Precision.HIGHEST
 
     @nn.compact
     def __call__(self, x):
         for i in range(2):
             x = nn.Conv(self.features, (3, 3), padding="VALID",
-                        dtype=self.dtype, name=f"conv{i + 1}")(reflect_pad(x))
+                        dtype=self.dtype, precision=self.precision,
+                        name=f"conv{i + 1}")(reflect_pad(x))
             x = nn.relu(x)
         return x
 
@@ -88,6 +91,11 @@ class UNet(nn.Module):
     drop_rate: typing.Optional[float] = None
     disable_center: bool = False
     compute_dtype: typing.Any = jnp.float32
+    # f32 inputs at DEFAULT precision decompose to bf16 passes on this
+    # stack (TPU and CPU alike); pin HIGHEST so the predictor feeding the
+    # WS estimator is true f32.  For throughput runs set
+    # compute_dtype=bfloat16 instead (native MXU path).
+    precision: typing.Any = jax.lax.Precision.HIGHEST
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -116,29 +124,32 @@ class UNet(nn.Module):
         h = jax.lax.conv_general_dilated(
             reflect_pad(x), k11.astype(self.compute_dtype), (1, 1), "VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=self.precision,
         ) + b11.astype(self.compute_dtype)
         h = nn.relu(h)
         h = nn.Conv(widths[0], (3, 3), padding="VALID",
-                    dtype=self.compute_dtype, name="e1_conv2")(reflect_pad(h))
+                    dtype=self.compute_dtype, precision=self.precision,
+                    name="e1_conv2")(reflect_pad(h))
         h = nn.relu(h)
 
         skips = [h]
         for step in range(1, self.nsteps + 1):
             h = nn.max_pool(h, (2, 2), strides=(2, 2))
             h = _ConvBlock(widths[step], dtype=self.compute_dtype,
-                           name=f"e{step + 1}")(h)
+                           precision=self.precision, name=f"e{step + 1}")(h)
             skips.append(h)
 
         for step in range(self.nsteps, 0, -1):
             h = nn.ConvTranspose(widths[step - 1], (2, 2), strides=(2, 2),
                                  padding="VALID", dtype=self.compute_dtype,
+                                 precision=self.precision,
                                  name=f"up{step}")(h)
             h = jnp.concatenate([h, skips[step - 1]], axis=-1)
             h = _ConvBlock(widths[step - 1], dtype=self.compute_dtype,
-                           name=f"d{step}")(h)
+                           precision=self.precision, name=f"d{step}")(h)
 
         out = nn.Conv(self.out_channels, (1, 1), dtype=self.compute_dtype,
-                      name="outconv")(h)
+                      precision=self.precision, name="outconv")(h)
         return nn.sigmoid(out).astype(in_dtype)
 
 

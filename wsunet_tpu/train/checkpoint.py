@@ -1,0 +1,70 @@
+"""Checkpointing with the reference's best/latest + config.json convention.
+
+Parity: src/detector/train.py:280-295 — every epoch writes ``latest``, the
+best-validation epoch is copied to ``best``; the experiment's full config
+is dumped as config.json beside the checkpoints and re-read at eval time to
+reconstruct the model (unet/evaluate.py:151-188).
+
+Storage is Orbax (StandardCheckpointer) over a pytree
+``{params, opt_state, epoch, best_val_loss, patience, batch_stats?}``.
+"""
+
+import json
+import pathlib
+import shutil
+import typing
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def save_config(experiment_dir: pathlib.Path, config: dict):
+    experiment_dir = pathlib.Path(experiment_dir)
+    experiment_dir.mkdir(parents=True, exist_ok=True)
+    with open(experiment_dir / "config.json", "w") as f:
+        json.dump(config, f, indent=4, sort_keys=True, default=str)
+
+
+def load_config(experiment_dir: pathlib.Path) -> dict:
+    with open(pathlib.Path(experiment_dir) / "config.json") as f:
+        return json.load(f)
+
+
+def save_checkpoint(
+    experiment_dir: pathlib.Path,
+    state: typing.Any,
+    is_best: bool = False,
+):
+    """Write ``model/latest``; copy to ``model/best`` when ``is_best``."""
+    model_dir = pathlib.Path(experiment_dir) / "model"
+    model_dir.mkdir(parents=True, exist_ok=True)
+    latest = (model_dir / "latest").resolve()
+    with ocp.StandardCheckpointer() as ckptr:
+        if latest.exists():
+            shutil.rmtree(latest)
+        ckptr.save(latest, state)
+    if is_best:
+        best = (model_dir / "best").resolve()
+        if best.exists():
+            shutil.rmtree(best)
+        shutil.copytree(latest, best)
+
+
+def load_checkpoint(
+    experiment_dir: pathlib.Path,
+    template: typing.Any,
+    which: str = "best",
+) -> typing.Any:
+    """Restore a checkpoint into the structure of ``template``."""
+    path = (pathlib.Path(experiment_dir) / "model" / which).resolve()
+    if not path.exists():
+        raise FileNotFoundError(f"no checkpoint at {path}")
+    # Restore the full saved tree, then project onto the template's keys:
+    # eval-time templates carry only the subtree they need (e.g. params
+    # without opt_state), matching the reference's state_dict-only loads
+    # (unet/evaluate.py:185-186).
+    with ocp.StandardCheckpointer() as ckptr:
+        full = ckptr.restore(path)
+    if isinstance(template, dict):
+        return {k: full[k] for k in template}
+    return full

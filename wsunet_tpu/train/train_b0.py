@@ -1,0 +1,221 @@
+"""EfficientNet-B0 detector training.
+
+Parity: reference src/detector/train.py:25-304 — CE loss + AdamW,
+per-epoch reshuffle, Loss/Accuracy/P_E/PMD@5FP meters, TensorBoard
+scalars, best/latest checkpoints, patience early-stopping, optional resume
+from a previous experiment's best checkpoint (the golden configs show the
+alpha=.01 model warm-started from the alpha=.05 one).
+
+TPU-native differences: cover/stego pairs are built ON DEVICE (each cover
+batch is duplicated into a cover half and a freshly-simulated stego half),
+the step is jitted with BN batch_stats mutable, and batches shard over the
+1-D data mesh.
+"""
+
+import pathlib
+import time
+
+import numpy as np
+import optax
+import jax
+import jax.numpy as jnp
+
+from ..data import iterate_batches, precovers
+from ..data.simulate import hillr_simulate, lsbr_simulate
+from ..data.transforms import lsbr_reference as lsbr_reference_tf, normalize
+from ..detect.b0_eval import IMAGENET_GREEN_MEAN, IMAGENET_GREEN_STD
+from ..detect.metrics import (
+    AccuracyMeter, LossMeter, PEMeter, PMD5FPMeter, ProgressMeter)
+from ..models import get_b0
+from ..parallel import get_mesh, replicate, shard_batch
+from ..utils import create_run_name, setup_logger
+from .checkpoint import load_checkpoint, save_checkpoint, save_config
+from .train_unet import MetricWriter
+
+log = setup_logger("train_b0")
+
+DEFAULT_CONFIG = dict(
+    network="b0",
+    stego_method="LSBR",
+    alpha=0.01,
+    loss="crossentropy",
+    learning_rate=1e-4,
+    batch_size=8,
+    num_epochs=50,
+    patience=5,
+    grayscale=True,
+    drop_rate=0.2,
+    no_stem_stride=False,
+    lsbr_reference=False,
+    demosaic_oracle=False,
+    seed=12345,
+    shape=(512, 512),
+    tr_csv="split_tr.csv",
+    va_csv="split_va.csv",
+    resume=None,
+    debug=False,
+    compute_dtype="bfloat16",
+)
+
+
+def _make_steps(model, optimizer, cfg):
+    stego_method = cfg["stego_method"]
+    alpha = cfg["alpha"]
+    use_ref = cfg["lsbr_reference"]
+
+    def embed(cover_u8, key):
+        if stego_method.upper().startswith("LSB"):
+            return lsbr_simulate(cover_u8, alpha, key)
+        return hillr_simulate(cover_u8, float(alpha))
+
+    def preprocess(x_u8):
+        x = x_u8.astype(jnp.float32)[..., None] / 255.0
+        if use_ref:
+            x = lsbr_reference_tf(x)
+        return normalize(x, IMAGENET_GREEN_MEAN, IMAGENET_GREEN_STD)
+
+    def make_pair(cover_u8, key):
+        stego_u8 = embed(cover_u8, key)
+        x = jnp.concatenate([preprocess(cover_u8), preprocess(stego_u8)])
+        y = jnp.concatenate([
+            jnp.zeros(cover_u8.shape[0], jnp.int32),
+            jnp.ones(cover_u8.shape[0], jnp.int32)])
+        return x, y
+
+    def loss_fn(params, batch_stats, x, y, dropout_key, train):
+        variables = {"params": params, "batch_stats": batch_stats}
+        if train:
+            logits, mutated = model.apply(
+                variables, x, train=True, mutable=["batch_stats"],
+                rngs={"dropout": dropout_key})
+            new_stats = mutated["batch_stats"]
+        else:
+            logits = model.apply(variables, x, train=False)
+            new_stats = batch_stats
+        loss = optax.softmax_cross_entropy_with_integer_labels(
+            logits, y).mean()
+        return loss, (logits, new_stats)
+
+    @jax.jit
+    def train_step(params, batch_stats, opt_state, cover_u8, key, dropout_key):
+        x, y = make_pair(cover_u8, key)
+        (loss, (logits, batch_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, batch_stats, x, y, dropout_key, True)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, batch_stats, opt_state, loss, logits, y
+
+    @jax.jit
+    def eval_step(params, batch_stats, cover_u8, key):
+        x, y = make_pair(cover_u8, key)
+        loss, (logits, _) = loss_fn(
+            params, batch_stats, x, y, jax.random.PRNGKey(0), False)
+        return loss, logits, y
+
+    return train_step, eval_step
+
+
+def train(config: dict, data_path: pathlib.Path, output_dir: pathlib.Path):
+    cfg = {**DEFAULT_CONFIG, **config}
+    run_name = time.strftime("%y%m%d%H%M%S") + "-tpu-" + create_run_name(cfg)
+    exp_dir = pathlib.Path(output_dir) / cfg["stego_method"] / run_name
+    save_config(exp_dir, {**cfg, "dataset": str(data_path)})
+    writer = MetricWriter(exp_dir / "log")
+
+    in_channels = 1 if cfg["grayscale"] else 3
+    in_channels += 3 if cfg["demosaic_oracle"] else 0
+    in_channels += 1 if cfg["lsbr_reference"] else 0
+    model = get_b0(
+        in_channels=in_channels,
+        no_stem_stride=cfg["no_stem_stride"],
+        drop_rate=cfg["drop_rate"],
+        compute_dtype=jnp.dtype(cfg["compute_dtype"]))
+    optimizer = optax.adamw(cfg["learning_rate"])
+
+    key = jax.random.PRNGKey(cfg["seed"] or 0)
+    key, init_key, drop_key = jax.random.split(key, 3)
+    shape = tuple(cfg["shape"])
+    variables = jax.jit(model.init)(
+        {"params": init_key, "dropout": drop_key},
+        jnp.zeros((1, *shape, in_channels), jnp.float32))
+    params, batch_stats = variables["params"], variables["batch_stats"]
+
+    if cfg["resume"]:
+        resume_dir = pathlib.Path(output_dir) / cfg["stego_method"] / cfg["resume"]
+        state = load_checkpoint(
+            resume_dir, {"params": params, "batch_stats": batch_stats}, "best")
+        params, batch_stats = state["params"], state["batch_stats"]
+        log.info(f"resumed from {resume_dir}")
+
+    opt_state = optimizer.init(params)
+    mesh = get_mesh()
+    params = replicate(mesh, params)
+    batch_stats = replicate(mesh, batch_stats)
+    opt_state = replicate(mesh, opt_state)
+
+    train_step, eval_step = _make_steps(model, optimizer, cfg)
+
+    df_tr = precovers(data_path, split=cfg["tr_csv"])
+    df_va = precovers(data_path, split=cfg["va_csv"])
+    rng = np.random.default_rng(cfg["seed"])
+
+    best_val_loss = np.inf
+    patience = cfg["patience"]
+    for epoch in range(cfg["num_epochs"]):
+        df_ep = df_tr.sample(frac=1.0, random_state=rng.integers(2 ** 31)) \
+            if len(df_tr) > 1 else df_tr
+        loss_meter = LossMeter(":.4e")
+        acc = AccuracyMeter()
+        pe, pmd = PEMeter(), PMD5FPMeter()
+        progress = ProgressMeter(
+            max(1, len(df_ep) // cfg["batch_size"]),
+            [loss_meter, pe, pmd, acc], prefix=f"Epoch: [{epoch}]")
+        for batch in iterate_batches(data_path, df_ep, cfg["batch_size"]):
+            key, ek, dk = jax.random.split(key, 3)
+            pixels = shard_batch(mesh, jnp.asarray(batch.pixels))
+            params, batch_stats, opt_state, loss, logits, y = train_step(
+                params, batch_stats, opt_state, pixels, ek, dk)
+            outputs = jax.nn.softmax(logits, axis=1)[:, 1]
+            loss_meter.update(float(loss), int(y.shape[0]))
+            y_np = np.asarray(y)
+            acc.update(y_np, np.asarray(jnp.argmax(logits, axis=1)))
+            pe.update(y_np, np.asarray(outputs))
+            pmd.update(y_np, np.asarray(outputs))
+        log.info(progress.to_str(0))
+        for m in [loss_meter, pe, pmd, acc]:
+            writer.add_scalar(f"train/{m.name}", m.avg, epoch)
+
+        va_loss = LossMeter()
+        va_pe, va_pmd, va_acc = PEMeter(), PMD5FPMeter(), AccuracyMeter()
+        for batch in iterate_batches(data_path, df_va, cfg["batch_size"]):
+            key, ek = jax.random.split(key)
+            pixels = shard_batch(mesh, jnp.asarray(batch.pixels))
+            loss, logits, y = eval_step(params, batch_stats, pixels, ek)
+            outputs = jax.nn.softmax(logits, axis=1)[:, 1]
+            va_loss.update(float(loss), int(y.shape[0]))
+            y_np = np.asarray(y)
+            va_acc.update(y_np, np.asarray(jnp.argmax(logits, axis=1)))
+            va_pe.update(y_np, np.asarray(outputs))
+            va_pmd.update(y_np, np.asarray(outputs))
+        for m in [va_loss, va_pe, va_pmd, va_acc]:
+            writer.add_scalar(f"val/{m.name}", m.avg, epoch)
+        log.info(f"epoch {epoch}: val loss {va_loss.avg:.5f} "
+                 f"p_e {va_pe.avg:.3f} acc {va_acc.avg:.3f}")
+
+        val_loss = va_loss.avg
+        state = {"params": params, "batch_stats": batch_stats,
+                 "opt_state": opt_state, "epoch": epoch,
+                 "best_val_loss": float(best_val_loss), "patience": patience}
+        is_best = val_loss < best_val_loss
+        save_checkpoint(exp_dir, state, is_best=is_best)
+        if is_best:
+            patience = cfg["patience"]
+            best_val_loss = val_loss
+        else:
+            patience -= 1
+        if patience <= 0:
+            log.info("early stopping (patience exhausted)")
+            break
+
+    writer.close()
+    return exp_dir

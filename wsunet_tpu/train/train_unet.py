@@ -1,0 +1,213 @@
+"""U-Net predictor training.
+
+The reference's U-Net trainer lived in the authors' private repo; its
+surface is recoverable from the saved config.json files, the losses
+(src/_defs/losses.py) and the B0 trainer skeleton (src/detector/train.py).
+This trainer keeps that surface — experiment dir naming, config.json dump,
+best/latest checkpoints, patience early-stopping, meters + TensorBoard
+scalars — on a TPU-native loop:
+
+- cover batches stream from the input pipeline; stego views are generated
+  ON DEVICE by the simulators (data/simulate.py), so a cover/stego training
+  pair never crosses the host boundary twice;
+- one jitted train step (loss -> grad -> AdamW update), batch sharded over
+  the 1-D data mesh, params replicated; gradients are reduced by XLA over
+  ICI automatically.
+"""
+
+import pathlib
+import time
+import typing
+
+import numpy as np
+import optax
+import jax
+import jax.numpy as jnp
+
+from ..data import iterate_batches, precovers
+from ..data.simulate import hillr_simulate, lsbr_simulate
+from ..detect.metrics import LossMeter, MAEMeter, ProgressMeter, WSMeter
+from ..models import get_model
+from ..parallel import get_mesh, shard_batch, replicate
+from ..utils import create_run_name, setup_logger
+from .checkpoint import save_checkpoint, save_config
+from .losses import get_loss
+
+log = setup_logger("train_unet")
+
+DEFAULT_CONFIG = dict(
+    network="unet_2",
+    stego_method="LSBR",
+    alpha=0.4,
+    loss="l1ws",
+    loss_lambda=0.25,
+    learning_rate=1e-4,
+    batch_size=8,
+    num_epochs=50,
+    patience=10,
+    grayscale=True,
+    drop_rate=None,
+    disable_center=False,
+    seed=12345,
+    shape=(512, 512),
+    tr_csv="split_tr.csv",
+    va_csv="split_va.csv",
+    debug=False,
+    compute_dtype="float32",
+)
+
+
+def _make_step(model, loss_fn, optimizer, stego_method, alpha):
+    """Jitted (params, opt_state, cover_u8, key) -> (params, opt_state, loss)."""
+
+    def embed(cover_u8, key):
+        if stego_method is None or alpha in (None, 0.0):
+            return cover_u8
+        if stego_method.upper().startswith("LSB"):
+            return lsbr_simulate(cover_u8, alpha, key)
+        return hillr_simulate(cover_u8, float(alpha))
+
+    def compute_loss(params, cover_u8, key, dropout_key):
+        stego_u8 = embed(cover_u8, key)
+        covers = cover_u8.astype(jnp.float32)[..., None] / 255.0
+        inputs = stego_u8.astype(jnp.float32)[..., None] / 255.0
+        a = 0.0 if (stego_method is None or alpha is None) else alpha
+        alphas = jnp.full((cover_u8.shape[0],), a, jnp.float32)
+        outputs = model.apply(
+            {"params": params}, inputs, deterministic=False,
+            rngs={"dropout": dropout_key})
+        return loss_fn(outputs, covers, inputs, alphas), (outputs, inputs)
+
+    @jax.jit
+    def train_step(params, opt_state, cover_u8, key, dropout_key):
+        (loss, _), grads = jax.value_and_grad(
+            compute_loss, has_aux=True)(params, cover_u8, key, dropout_key)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    @jax.jit
+    def eval_step(params, cover_u8, key):
+        loss, (outputs, inputs) = compute_loss(
+            params, cover_u8, key, jax.random.PRNGKey(0))
+        return loss, outputs, inputs
+
+    return train_step, eval_step
+
+
+class MetricWriter:
+    """TensorBoard scalars when torch's writer is available, CSV always
+    (parity: detector/train.py:100-102,137-138 writes train/* and val/*)."""
+
+    def __init__(self, log_dir: pathlib.Path):
+        self.log_dir = pathlib.Path(log_dir)
+        self.log_dir.mkdir(parents=True, exist_ok=True)
+        self._csv = open(self.log_dir / "scalars.csv", "a")
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            self._tb = SummaryWriter(log_dir=str(self.log_dir))
+        except Exception:
+            self._tb = None
+
+    def add_scalar(self, tag, value, global_step):
+        self._csv.write(f"{global_step},{tag},{value}\n")
+        self._csv.flush()
+        if self._tb is not None:
+            self._tb.add_scalar(tag, value, global_step=global_step)
+
+    def close(self):
+        self._csv.close()
+        if self._tb is not None:
+            self._tb.close()
+
+
+def train(config: dict, data_path: pathlib.Path, output_dir: pathlib.Path):
+    """Run one U-Net training experiment; returns the experiment dir."""
+    cfg = {**DEFAULT_CONFIG, **config}
+    run_name = time.strftime("%y%m%d%H%M%S") + "-tpu-" + create_run_name(cfg)
+    stego_method = cfg["stego_method"]
+    exp_dir = pathlib.Path(output_dir) / (stego_method or "dropout") / run_name
+    save_config(exp_dir, {**cfg, "dataset": str(data_path)})
+    writer = MetricWriter(exp_dir / "log")
+
+    model = get_model(
+        cfg["network"], drop_rate=cfg["drop_rate"],
+        disable_center=cfg["disable_center"],
+        compute_dtype=jnp.dtype(cfg["compute_dtype"]))
+    loss_fn = get_loss(cfg["loss"])
+    optimizer = optax.adamw(cfg["learning_rate"])
+
+    key = jax.random.PRNGKey(cfg["seed"] or 0)
+    key, init_key = jax.random.split(key)
+    shape = tuple(cfg["shape"])
+    params = jax.jit(lambda k1, k2, x: model.init(
+        {"params": k1, "dropout": k2}, x))(
+        init_key, key, jnp.zeros((1, *shape, 1), jnp.float32))["params"]
+    opt_state = optimizer.init(params)
+
+    mesh = get_mesh()
+    params = replicate(mesh, params)
+    opt_state = replicate(mesh, opt_state)
+
+    train_step, eval_step = _make_step(
+        model, loss_fn, optimizer, stego_method, cfg["alpha"])
+
+    df_tr = precovers(data_path, split=cfg["tr_csv"])
+    df_va = precovers(data_path, split=cfg["va_csv"])
+    rng = np.random.default_rng(cfg["seed"])
+
+    best_val_loss = np.inf
+    patience = cfg["patience"]
+    for epoch in range(cfg["num_epochs"]):
+        # reshuffle (parity: per-epoch dataset reshuffle, train.py:254)
+        df_ep = df_tr.sample(frac=1.0, random_state=rng.integers(2 ** 31)) \
+            if len(df_tr) > 1 else df_tr
+        loss_meter = LossMeter(":.4e")
+        progress = ProgressMeter(
+            max(1, len(df_ep) // cfg["batch_size"]), [loss_meter],
+            prefix=f"Epoch: [{epoch}]")
+        for i, batch in enumerate(iterate_batches(
+                data_path, df_ep, cfg["batch_size"])):
+            key, ek, dk = jax.random.split(key, 3)
+            pixels = shard_batch(mesh, jnp.asarray(batch.pixels))
+            params, opt_state, loss = train_step(params, opt_state, pixels, ek, dk)
+            loss_meter.update(float(loss), int(batch.mask.sum()))
+        log.info(progress.to_str(0))
+        writer.add_scalar("train/loss", loss_meter.avg, epoch)
+
+        # validation
+        va_meter = LossMeter()
+        ws_meter = WSMeter()
+        mae_meter = MAEMeter(multiplier=255)
+        for batch in iterate_batches(data_path, df_va, cfg["batch_size"]):
+            key, ek = jax.random.split(key)
+            pixels = shard_batch(mesh, jnp.asarray(batch.pixels))
+            loss, outputs, inputs = eval_step(params, pixels, ek)
+            va_meter.update(float(loss), int(batch.mask.sum()))
+            a = cfg["alpha"] or 0.0
+            ws_meter.update(np.asarray(inputs), np.asarray(outputs),
+                            np.full(inputs.shape[0], a))
+            mae_meter.update(np.asarray(inputs), np.asarray(outputs))
+        writer.add_scalar("val/loss", va_meter.avg, epoch)
+        writer.add_scalar("val/ws", ws_meter.avg, epoch)
+        writer.add_scalar("val/mae", mae_meter.avg, epoch)
+        log.info(f"epoch {epoch}: val loss {va_meter.avg:.5f} "
+                 f"ws {ws_meter.avg:.5f} mae255 {mae_meter.avg:.3f}")
+
+        val_loss = va_meter.avg
+        state = {"params": params, "opt_state": opt_state,
+                 "epoch": epoch, "best_val_loss": float(best_val_loss),
+                 "patience": patience}
+        is_best = val_loss < best_val_loss
+        save_checkpoint(exp_dir, state, is_best=is_best)
+        if is_best:
+            patience = cfg["patience"]
+            best_val_loss = val_loss
+        else:
+            patience -= 1
+        if patience <= 0:
+            log.info("early stopping (patience exhausted)")
+            break
+
+    writer.close()
+    return exp_dir

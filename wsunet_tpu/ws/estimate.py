@@ -1,0 +1,88 @@
+"""WS attack sweep over datasets.
+
+Parity: reference src/ws/estimate.py:139-281 — the per-image joblib
+fan-out becomes a single jitted batched program per configuration; rows
+carry the same metadata/result columns so downstream ROC/reporting match.
+"""
+
+import pathlib
+import typing
+
+import numpy as np
+import pandas as pd
+import jax
+import jax.numpy as jnp
+
+from ..data import iterate_batches, precovers, stego_spatial
+from ..ops import NAMED_FILTERS_2D, ws_attack
+from ..utils.registry import get_model_name
+from .unet_eval import get_unet_estimator
+
+
+def attack_sweep(
+    root: pathlib.Path,
+    df: pd.DataFrame,
+    pixel_kernel=None,
+    pixel_estimator: typing.Callable = None,
+    weighted: int = 0,
+    correct_bias: bool = False,
+    batch_size: int = 8,
+    threads: int = 8,
+) -> np.ndarray:
+    """beta_hat for every catalog row, batched on device."""
+
+    @jax.jit
+    def step(pixels):
+        return ws_attack(
+            pixels, pixel_kernel=pixel_kernel,
+            pixel_estimator=pixel_estimator,
+            weighted=weighted, correct_bias=correct_bias)
+
+    betas = []
+    for batch in iterate_batches(root, df, batch_size, threads=threads):
+        b = np.asarray(step(jnp.asarray(batch.pixels)))
+        betas.append(b[: len(batch.rows)][batch.mask[: len(batch.rows)]])
+    return np.concatenate(betas) if betas else np.array([])
+
+
+def run(
+    input_dir: pathlib.Path,
+    stego_method: str,
+    alpha: float,
+    model_name: str,
+    model_path: pathlib.Path = None,
+    channels: typing.Tuple[int, ...] = (3,),
+    weighted: int = 0,
+    correct_bias: bool = False,
+    batch_size: int = 8,
+    threads: int = 8,
+) -> pd.DataFrame:
+    """One (stego_method, alpha, model) attack configuration
+    (parity: ws/estimate.py:149-205; model_name in the named filters picks
+    the fused kernel path, anything else resolves a trained U-Net)."""
+    if model_name in NAMED_FILTERS_2D:
+        kernel, estimator = NAMED_FILTERS_2D[model_name], None
+        out_model_name = model_name
+    else:
+        kernel = None
+        estimator = get_unet_estimator(model_path, model_name)
+        out_model_name = "UNet"
+
+    if stego_method:
+        df = stego_spatial(input_dir, stego_method=stego_method, alpha=alpha)
+    else:
+        df = precovers(input_dir)
+
+    betas = attack_sweep(
+        input_dir, df, pixel_kernel=kernel, pixel_estimator=estimator,
+        weighted=weighted, correct_bias=correct_bias,
+        batch_size=batch_size, threads=threads)
+
+    res = df.reset_index(drop=True).copy()
+    res["beta_hat"] = betas
+    res["model_name"] = out_model_name
+    res["channels"] = "".join(map(str, channels))
+    res["weighted"] = weighted
+    res["correct_bias"] = correct_bias
+    res = res[~res.beta_hat.isna()]
+    return res

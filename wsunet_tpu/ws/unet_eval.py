@@ -1,0 +1,120 @@
+"""U-Net inference + WS prediction-error evaluation.
+
+Parity: reference src/unet/evaluate.py —
+- ``infer_unet``: transform (center-crop 512, /255) -> model -> crop 1-px
+  border -> x255 (evaluate.py:31-52), batched.
+- ``run``: cover + LSBR + HILLR sweeps computing per-image (beta_hat, l1)
+  with the *unet* WS variant (mean, unclipped; evaluate.py:109-139),
+  producing the ws_<method>.csv schema.
+- model loading via config.json + best checkpoint
+  (evaluate.py:151-188, model registry in utils.registry).
+"""
+
+import pathlib
+
+import numpy as np
+import pandas as pd
+import jax
+import jax.numpy as jnp
+
+from ..data import iterate_batches, precovers, stego_spatial
+from ..data.transforms import center_crop
+from ..models import get_model
+from ..ops import ws_estimate_unet
+from ..train.checkpoint import load_checkpoint, load_config
+from ..utils.registry import get_model_name
+
+
+def infer_unet(model, variables, x: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, W] f32 pixels (0..255) -> [B, 510, 510] prediction (0..255)."""
+    xc = center_crop(x[..., None], 512) / 255.0
+    y = model.apply(variables, xc, deterministic=True)
+    return y[:, 1:-1, 1:-1, 0] * 255.0
+
+
+def load_pretrained_unet(
+    model_path: pathlib.Path,
+    model_name: str,
+    compute_dtype=jnp.float32,
+):
+    """Build the model from its config.json and restore the best checkpoint
+    (parity: unet/evaluate.py:162-188 — in/out channels forced to 1 and
+    drop_rate to 0 at eval time)."""
+    exp_dir = pathlib.Path(model_path) / model_name
+    config = load_config(exp_dir)
+    model = get_model(
+        config["network"], in_channels=1, out_channels=1,
+        drop_rate=None, compute_dtype=compute_dtype)
+    template = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0),
+        jnp.zeros((1, 64, 64, 1), jnp.float32))
+    state = load_checkpoint(exp_dir, {"params": template["params"]}, "best")
+    return model, {"params": state["params"]}, config
+
+
+def get_unet_estimator(
+    model_path: pathlib.Path,
+    model_name: str,
+    compute_dtype=jnp.float32,
+    **_ignored,
+):
+    """Pixel-estimator callable for ws_attack
+    (parity: unet/__init__.py:110-121)."""
+    model, variables, _ = load_pretrained_unet(
+        model_path, model_name, compute_dtype=compute_dtype)
+
+    def predict(x):
+        return infer_unet(model, variables, x)
+
+    return predict
+
+
+def _predict_frame(
+    root, df, model, variables, batch_size: int, threads: int
+) -> pd.DataFrame:
+    """Per-image (beta_hat, l1) over catalog rows."""
+
+    @jax.jit
+    def step(pixels):
+        x = pixels.astype(jnp.float32)
+        x_hat = infer_unet(model, variables, x)
+        xc = center_crop(x[..., None], 512)[..., 0]
+        return ws_estimate_unet(xc, x_hat)
+
+    frames = []
+    for batch in iterate_batches(root, df, batch_size, threads=threads):
+        beta, l1 = step(jnp.asarray(batch.pixels))
+        beta, l1 = np.asarray(beta), np.asarray(l1)
+        out = batch.rows.copy()
+        out["beta_hat"] = beta[: len(out)][batch.mask[: len(out)]]
+        out["l1"] = l1[: len(out)][batch.mask[: len(out)]]
+        frames.append(out)
+    return pd.concat(frames).reset_index(drop=True)
+
+
+def run(
+    data_path: pathlib.Path,
+    model_dir: pathlib.Path,
+    stego_method: str,
+    eval_methods=("LSBR", "HILLR"),
+    model_name: str = None,
+    batch_size: int = 8,
+    threads: int = 8,
+) -> pd.DataFrame:
+    """Cover + stego sweeps for one trained model
+    (parity: unet/evaluate.py __main__, results/estimation/ws_<method>.csv)."""
+    model_dir = pathlib.Path(model_dir)
+    if model_name is None:
+        model_name = get_model_name(model_dir, stego_method)
+    model, variables, _ = load_pretrained_unet(
+        model_dir / stego_method, model_name)
+
+    frames = [_predict_frame(
+        data_path, precovers(data_path), model, variables,
+        batch_size, threads)]
+    for sm in eval_methods:
+        df_s = stego_spatial(data_path, stego_method=sm)
+        if len(df_s):
+            frames.append(_predict_frame(
+                data_path, df_s, model, variables, batch_size, threads))
+    return pd.concat(frames).reset_index(drop=True)
