@@ -1,0 +1,21 @@
+#!/usr/bin/env python
+"""Repo-root benchmark entry point (driver contract: prints ONE JSON line
+{"metric", "value", "unit", "vs_baseline"}).  See wsunet_tpu/bench.py."""
+
+import json
+import sys
+import pathlib
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+
+from wsunet_tpu.bench import run_bench
+
+
+def main():
+    out = run_bench()
+    print(json.dumps({k: out[k] for k in
+                      ("metric", "value", "unit", "vs_baseline")}))
+
+
+if __name__ == "__main__":
+    main()

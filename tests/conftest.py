@@ -1,13 +1,24 @@
 """Test configuration: force an 8-device virtual CPU mesh before JAX loads,
-so multi-chip sharding tests run anywhere (SURVEY.md §4 implication)."""
+so multi-chip sharding tests run anywhere (SURVEY.md §4 implication).
+
+NOTE the axon TPU plugin in this environment ignores the JAX_PLATFORMS
+env var, so the platform must be pinned via jax.config.update BEFORE any
+backend is initialized (otherwise the whole suite silently runs over the
+TPU tunnel).
+"""
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", jax.default_backend()
 
 import pathlib
 

@@ -1,0 +1,373 @@
+"""Command-line interface.
+
+Mirrors the reference's README command surface (README.md:5-27: one python
+script per analysis) as subcommands of a single typed CLI:
+
+    python -m wsunet_tpu filters-eval   ~ python filters/evaluate.py
+    python -m wsunet_tpu ws-eval        ~ python ws/estimate.py
+    python -m wsunet_tpu unet-eval      ~ python unet/evaluate.py
+    python -m wsunet_tpu detector-eval  ~ python detector/evaluate.py
+    python -m wsunet_tpu roc            ~ python ws/roc.py
+    python -m wsunet_tpu train-unet     ~ (private-repo unet trainer)
+    python -m wsunet_tpu train-b0       ~ python detector/train.py
+    python -m wsunet_tpu correlation    ~ python correlation.py
+    python -m wsunet_tpu error-boxes    ~ python error_boxes.py
+    python -m wsunet_tpu contour        ~ python contour.py
+    python -m wsunet_tpu saliency       ~ python saliency.py
+    python -m wsunet_tpu simulate       (new: generate stego fixtures)
+    python -m wsunet_tpu bench          (new: throughput benchmark)
+"""
+
+import argparse
+import json
+import pathlib
+import sys
+
+
+def _common(p):
+    p.add_argument("--data", type=pathlib.Path, default=pathlib.Path("data"),
+                   help="dataset root (with files.csv subdirs)")
+    p.add_argument("--results", type=pathlib.Path,
+                   default=pathlib.Path("results"), help="output root")
+    p.add_argument("--batch-size", type=int, default=8)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="wsunet_tpu",
+        description="TPU-native WS steganalysis framework")
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("filters-eval", help="KB/AVG prediction error (MAE/wMAE)")
+    _common(p)
+    p.add_argument("--filters", nargs="+", default=["AVG", "KB"])
+
+    p = sub.add_parser("ws-eval", help="WS attack sweep")
+    _common(p)
+    p.add_argument("--models", nargs="+", default=["AVG", "KB"],
+                   help="filter names and/or UNet")
+    p.add_argument("--model-dir", type=pathlib.Path,
+                   default=pathlib.Path("models/unet"))
+    p.add_argument("--train-method", default="LSBR",
+                   help="stego method the UNet was trained on")
+    p.add_argument("--stego-methods", nargs="+", default=["LSBR"],
+                   help="stego methods to attack (covers always included)")
+    p.add_argument("--alphas", nargs="+", type=float, default=[.4, .2, .1])
+    p.add_argument("--weighted", type=int, default=0, choices=[-1, 0, 1])
+    p.add_argument("--correct-bias", action="store_true")
+
+    p = sub.add_parser("unet-eval", help="U-Net inference + WS prediction error")
+    _common(p)
+    p.add_argument("--model-dir", type=pathlib.Path,
+                   default=pathlib.Path("models/unet"))
+    p.add_argument("--stego-method", default="LSBR",
+                   help="training method of the model (dropout/LSBR/HILLR)")
+
+    p = sub.add_parser("detector-eval", help="B0 detector scores")
+    _common(p)
+    p.add_argument("--model-dir", type=pathlib.Path,
+                   default=pathlib.Path("models/b0"))
+    p.add_argument("--stego-method", default="LSBR")
+    p.add_argument("--no-stem-stride", action="store_true")
+    p.add_argument("--lsbr-reference", action="store_true")
+
+    p = sub.add_parser("roc", help="ROC/AUC/P_E over WS + B0 detectors")
+    _common(p)
+    p.add_argument("--unet-model-dir", type=pathlib.Path,
+                   default=pathlib.Path("models/unet"))
+    p.add_argument("--b0-model-dir", type=pathlib.Path,
+                   default=pathlib.Path("models/b0"))
+    p.add_argument("--train-method", default="LSBR")
+    p.add_argument("--alphas", nargs="+", type=float, default=[.1, .05, .01])
+    p.add_argument("--models", nargs="+", default=["AVG", "KB", "UNet"])
+    p.add_argument("--b0", action="store_true", help="include B0 detectors")
+    p.add_argument("--b0-train-alpha", type=float, default=.01)
+
+    p = sub.add_parser("train-unet", help="train the U-Net predictor")
+    _common(p)
+    p.add_argument("--output-dir", type=pathlib.Path,
+                   default=pathlib.Path("models/unet"))
+    p.add_argument("--config", type=json.loads, default={},
+                   help='JSON config overrides, e.g. \'{"alpha":0.4}\'')
+
+    p = sub.add_parser("train-b0", help="train the B0 detector")
+    _common(p)
+    p.add_argument("--output-dir", type=pathlib.Path,
+                   default=pathlib.Path("models/b0"))
+    p.add_argument("--config", type=json.loads, default={})
+
+    p = sub.add_parser("correlation", help="residual/change correlation")
+    _common(p)
+    p.add_argument("--model-dir", type=pathlib.Path, default=None)
+
+    p = sub.add_parser("error-boxes", help="AE boxplots bucketed by KB error")
+    _common(p)
+    p.add_argument("--model-dir", type=pathlib.Path, default=None)
+    p.add_argument("--split", default="split_te.csv")
+
+    p = sub.add_parser("contour", help="difference-image contours")
+    _common(p)
+    p.add_argument("--image", default="images/6.png")
+    p.add_argument("--model-dir", type=pathlib.Path, default=None)
+
+    p = sub.add_parser("saliency", help="U-Net gradient saliency grid")
+    _common(p)
+    p.add_argument("--image", default="images/6.png")
+    p.add_argument("--model-dir", type=pathlib.Path,
+                   default=pathlib.Path("models/unet"))
+    p.add_argument("--stego-method", default="LSBR")
+    p.add_argument("--points", type=json.loads,
+                   default=[[307, 10], [261, 64], [155, 381], [9, 25]])
+
+    p = sub.add_parser("simulate", help="generate stego fixture directories")
+    _common(p)
+    p.add_argument("--method", choices=["LSBr", "HILLr"], default="LSBr")
+    p.add_argument("--alphas", nargs="+", type=float,
+                   default=[.01, .05, .1, .2, .4, 1.0])
+
+    p = sub.add_parser("bench", help="UNet+WS throughput benchmark")
+    _common(p)
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--iters", type=int, default=20)
+
+    return ap
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    cmd = args.command
+
+    if cmd == "filters-eval":
+        from .ws import filters_run
+        res = filters_run(args.data, filter_names=args.filters,
+                          channels=[(3,)] * len(args.filters),
+                          batch_size=args.batch_size)
+        out = args.results / "prediction" / "filters.csv"
+        out.parent.mkdir(parents=True, exist_ok=True)
+        res.to_csv(out, index=False)
+        print(f"output saved to {out}")
+
+    elif cmd == "ws-eval":
+        import pandas as pd
+        from .ws import ws_run
+        from .utils.registry import get_model_name
+        frames = []
+        for stego_method in [None] + list(args.stego_methods):
+            for alpha in (args.alphas if stego_method else [None]):
+                for model in args.models:
+                    model_name, model_path = model, None
+                    if model.upper() == "UNET":
+                        model_path = args.model_dir / args.train_method
+                        model_name = get_model_name(
+                            args.model_dir, args.train_method)
+                    res = ws_run(
+                        input_dir=args.data, stego_method=stego_method,
+                        alpha=alpha, model_name=model_name,
+                        model_path=model_path, weighted=args.weighted,
+                        correct_bias=args.correct_bias,
+                        batch_size=args.batch_size)
+                    frames.append(res)
+        res = pd.concat(frames).reset_index(drop=True)
+        if "stego_method" in res:
+            res["stego_method"] = res["stego_method"].fillna("Cover")
+        else:
+            res["stego_method"] = "Cover"
+        out = args.results / "estimation" / f"ws_{args.train_method}.csv"
+        out.parent.mkdir(parents=True, exist_ok=True)
+        res.to_csv(out, index=False)
+        print(f"output saved to {out}")
+
+    elif cmd == "unet-eval":
+        from .ws import unet_run
+        res = unet_run(args.data, args.model_dir, args.stego_method,
+                       batch_size=args.batch_size)
+        out = args.results / "estimation" / f"ws_{args.stego_method}.csv"
+        out.parent.mkdir(parents=True, exist_ok=True)
+        res.to_csv(out, index=False)
+        print(f"output saved to {out}")
+
+    elif cmd == "detector-eval":
+        from .detect import b0_run
+        res = b0_run(args.data, args.model_dir, args.stego_method,
+                     no_stem_stride=args.no_stem_stride,
+                     lsbr_reference=args.lsbr_reference,
+                     batch_size=args.batch_size)
+        out = args.results / "detection" / "b0.csv"
+        out.parent.mkdir(parents=True, exist_ok=True)
+        res.to_csv(out, index=False)
+        print(f"output saved to {out}")
+
+    elif cmd == "roc":
+        _cmd_roc(args)
+
+    elif cmd == "train-unet":
+        from .train.train_unet import train
+        exp = train(args.config, data_path=args.data,
+                    output_dir=args.output_dir)
+        print(f"experiment saved to {exp}")
+
+    elif cmd == "train-b0":
+        from .train.train_b0 import train
+        exp = train(args.config, data_path=args.data,
+                    output_dir=args.output_dir)
+        print(f"experiment saved to {exp}")
+
+    elif cmd == "correlation":
+        from .analyses import run_correlation
+        unet = ("dropout", "LSBR", "HILLR") if args.model_dir else ()
+        res, agg = run_correlation(args.data, model_dir=args.model_dir,
+                                   unet_methods=unet)
+        out = args.results / "estimation" / "correlation.csv"
+        out.parent.mkdir(parents=True, exist_ok=True)
+        agg.to_csv(out)
+        print(f"output saved to {out}")
+
+    elif cmd == "error-boxes":
+        from .analyses import run_error_boxes
+        unet = (("dropout", "UNet_l1"), ("LSBR", "UNet_l1ws")) \
+            if args.model_dir else ()
+        out = args.results / "prediction" / "ae_boxes_3.csv"
+        run_error_boxes(args.data, model_dir=args.model_dir,
+                        split=args.split, unet_models=unet, outfile=out)
+        print(f"output saved to {out}")
+
+    elif cmd == "contour":
+        from .analyses import difference_image, plot_contour
+        fname = args.data / args.image
+        outdir = args.results / "prediction"
+        models = ["KB"] + (["unet"] if args.model_dir else [])
+        for model in models:
+            d = difference_image(
+                fname, model_name="KB" if model == "KB" else "UNet",
+                model_dir=args.model_dir)
+            print("saved", plot_contour(fname, d, model, outdir))
+
+    elif cmd == "saliency":
+        from .analyses.saliency import plot_saliency_grid
+        out = (args.results / "prediction" /
+               f"saliency_{args.stego_method}.png")
+        plot_saliency_grid(args.data / args.image, args.model_dir,
+                           args.stego_method,
+                           [tuple(p) for p in args.points], out)
+        print(f"output saved to {out}")
+
+    elif cmd == "simulate":
+        _cmd_simulate(args)
+
+    elif cmd == "bench":
+        from .bench import run_bench
+        print(json.dumps(run_bench(dtype=args.dtype, iters=args.iters,
+                                   batch_size=args.batch_size)))
+
+    return 0
+
+
+def _cmd_roc(args):
+    import pandas as pd
+    from .detect import b0_run, produce_roc
+    from .utils.registry import get_model_name
+    from .ws import ws_run
+
+    frames = []
+    for stego_method in [None, "LSBR"]:
+        for alpha in (args.alphas if stego_method else [None]):
+            for model in args.models:
+                model_name, model_path = model, None
+                if model.upper() == "UNET":
+                    model_path = args.unet_model_dir / args.train_method
+                    try:
+                        model_name = get_model_name(
+                            args.unet_model_dir, args.train_method)
+                    except RuntimeError as e:
+                        print(f"skipping UNet: {e}", file=sys.stderr)
+                        continue
+                frames.append(ws_run(
+                    input_dir=args.data, stego_method=stego_method,
+                    alpha=alpha, model_name=model_name,
+                    model_path=model_path, weighted=0,
+                    batch_size=args.batch_size))
+    if args.b0:
+        for no_stride, lsbr_ref in [(False, False), (True, True)]:
+            try:
+                res = b0_run(
+                    args.data, args.b0_model_dir, args.train_method,
+                    no_stem_stride=no_stride, lsbr_reference=lsbr_ref,
+                    batch_size=args.batch_size)
+            except (RuntimeError, FileNotFoundError) as e:
+                print(f"skipping B0 ns={no_stride} r={lsbr_ref}: {e}",
+                      file=sys.stderr)
+                continue
+            prefix = ("ns-" if no_stride else "") + ("r-" if lsbr_ref else "")
+            res = res[(res["stego_method"].isna()) |
+                      (res["alpha"].isin(args.alphas))].copy()
+            res["model_name"] = f"{prefix}B0_{args.b0_train_alpha}"
+            res["score"] = res["output"]
+            frames.append(res)
+
+    res = pd.concat(frames).reset_index(drop=True)
+    res["stego_method"] = res["stego_method"].fillna("Cover")
+    res["alpha"] = res["alpha"].fillna(0.0)
+    df_roc = produce_roc(res)
+
+    alpha = args.alphas[-1]
+    outdir = args.results / "detection"
+    outdir.mkdir(parents=True, exist_ok=True)
+    df_auc = df_roc[["stego_method", "model_name", "auc", "p_e", "tau0",
+                     "fpr_tau0", "tpr_tau0", "fpr_50", "tpr_50"]
+                    ].drop_duplicates()
+    df_auc.to_csv(outdir / f"auc_{alpha}.csv", index=False)
+    pivot = df_roc.pivot(index=["tau"],
+                         columns=["stego_method", "model_name"],
+                         values=["tpr", "fpr"])
+    pivot.columns = ["_".join(c).strip() for c in pivot.columns.values]
+    pivot.to_csv(outdir / f"roc_{alpha}.csv", index=False)
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    fig, ax = plt.subplots()
+    for label, df_i in df_roc.groupby("label"):
+        df_i = df_i.sort_values("tau")
+        ax.plot(df_i["fpr"], df_i["tpr"], label=label)
+    ax.plot([0, 1], [0, 1], linestyle="--", color="gray", label="Random")
+    ax.set_xlabel("False Positive Rate (FPR)")
+    ax.set_ylabel("True Positive Rate (TPR)")
+    ax.legend(loc="lower right")
+    fig.savefig(outdir / f"roc_{alpha}.png", bbox_inches="tight", dpi=300)
+    print(df_auc.to_string())
+    print(f"outputs saved to {outdir}")
+
+
+def _cmd_simulate(args):
+    import numpy as np
+    import pandas as pd
+    from PIL import Image
+    import jax.numpy as jnp
+    from .data import precovers, load_images
+    from .data.simulate import simulate, image_key
+
+    df = precovers(args.data)
+    pixels = load_images(args.data, list(df["name"]))
+    for alpha in args.alphas:
+        outdir = (args.data /
+                  f"stego_{args.method}_alpha_{alpha}_independent_images")
+        outdir.mkdir(parents=True, exist_ok=True)
+        rows = []
+        for i, (_, row) in enumerate(df.iterrows()):
+            key = image_key(row["name"])
+            stego = np.asarray(simulate(
+                jnp.asarray(pixels[i][None]), args.method, alpha, key))[0]
+            name = pathlib.Path(row["name"]).name
+            Image.fromarray(stego).save(outdir / name)
+            rows.append({
+                "name": f"{outdir.name}/{name}",
+                "height": stego.shape[0], "width": stego.shape[1],
+                "stego_method": args.method.upper().rstrip("R") + "R",
+                "alpha": alpha,
+            })
+        pd.DataFrame(rows).to_csv(outdir / "files.csv", index=False)
+        print(f"wrote {len(rows)} stego images to {outdir}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())
