@@ -1,0 +1,37 @@
+"""Native libpng decode runtime vs the PIL reader."""
+
+import numpy as np
+import pytest
+
+from wsunet_tpu.io import imread_gray_u8, native
+
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native loader not built (make -C native)")
+
+
+def test_native_decode_bit_identical(data_root):
+    paths = [data_root / "images" / f"{i}.png" for i in (6, 7, 8, 9, 10)]
+    imgs = native.decode_gray_batch(paths, threads=4)
+    for img, p in zip(imgs, paths):
+        np.testing.assert_array_equal(img, imread_gray_u8(p))
+
+
+def test_native_decode_stego_dirs(data_root):
+    paths = [data_root / "stego_LSBr_alpha_0.4_independent_images" / "6.png"]
+    imgs = native.decode_gray_batch(paths, threads=1)
+    np.testing.assert_array_equal(imgs[0], imread_gray_u8(paths[0]))
+
+
+def test_native_missing_file_falls_back():
+    assert native.decode_gray_batch(["/nonexistent.png"], 2) is None
+
+
+def test_pipeline_uses_native(data_root):
+    from wsunet_tpu.data import iterate_batches, precovers
+    df = precovers(data_root)
+    batches = list(iterate_batches(data_root, df, batch_size=8))
+    assert batches[0].pixels.shape == (8, 512, 512)
+    np.testing.assert_array_equal(
+        batches[0].pixels[1],
+        imread_gray_u8(data_root / "images" / "6.png"))

@@ -20,6 +20,7 @@ import time
 import typing
 
 import numpy as np
+import pandas as pd
 import optax
 import jax
 import jax.numpy as jnp
@@ -37,6 +38,10 @@ log = setup_logger("train_unet")
 
 DEFAULT_CONFIG = dict(
     network="unet_2",
+    crop=None,          # random-crop size for training batches
+    augment=False,      # random flips + rot90
+    cover_fraction=0.5,  # fraction of each batch left unembedded
+    steps_per_epoch=None,  # repeat the (small) catalog to this many steps
     stego_method="LSBR",
     alpha=0.4,
     loss="l1ws",
@@ -57,22 +62,61 @@ DEFAULT_CONFIG = dict(
 )
 
 
-def _make_step(model, loss_fn, optimizer, stego_method, alpha):
-    """Jitted (params, opt_state, cover_u8, key) -> (params, opt_state, loss)."""
+def _make_step(model, loss_fn, optimizer, stego_method, alpha,
+               crop=None, augment=False, cover_fraction=0.5):
+    """Jitted (params, opt_state, cover_u8, key) -> (params, opt_state, loss).
 
-    def embed(cover_u8, key):
+    The whole sample pipeline is on-device: optional random crop (the
+    predictor is local, so crops of few covers are statistically sound
+    training data), random flips/rot90, per-image cover-vs-stego draw, and
+    LSBr/HILLr embedding — the host only ships decoded cover batches.
+    """
+
+    def random_crop(x_u8, key):
+        if crop is None or crop >= x_u8.shape[1]:
+            return x_u8
+        B, H, W = x_u8.shape
+        ki, kj = jax.random.split(key)
+        oi = jax.random.randint(ki, (B,), 0, H - crop + 1)
+        oj = jax.random.randint(kj, (B,), 0, W - crop + 1)
+
+        def one(img, i, j):
+            return jax.lax.dynamic_slice(img, (i, j), (crop, crop))
+
+        return jax.vmap(one)(x_u8, oi, oj)
+
+    def augment_batch(x_u8, key):
+        if not augment:
+            return x_u8
+        from ..data.transforms import random_flip, random_rot90
+        kf, kr = jax.random.split(key)
+        x = x_u8[..., None]
+        x = random_flip(x, kf)
+        x = random_rot90(x, kr)
+        return x[..., 0]
+
+    def embed(cover_u8, alphas, key):
         if stego_method is None or alpha in (None, 0.0):
             return cover_u8
         if stego_method.upper().startswith("LSB"):
-            return lsbr_simulate(cover_u8, alpha, key)
-        return hillr_simulate(cover_u8, float(alpha))
+            return lsbr_simulate(cover_u8, alphas, key)
+        stego = hillr_simulate(cover_u8, float(alpha))
+        return jnp.where((alphas > 0)[:, None, None], stego, cover_u8)
 
     def compute_loss(params, cover_u8, key, dropout_key):
-        stego_u8 = embed(cover_u8, key)
+        k_crop, k_aug, k_cover, k_embed = jax.random.split(key, 4)
+        cover_u8 = random_crop(cover_u8, k_crop)
+        cover_u8 = augment_batch(cover_u8, k_aug)
+        a = 0.0 if (stego_method is None or alpha is None) else alpha
+        # per-image draw: cover (alpha 0) vs stego (alpha a), so the WS
+        # loss sees both beta targets (the reference dataset interleaves
+        # covers and stegos the same way)
+        is_stego = jax.random.bernoulli(
+            k_cover, 1.0 - cover_fraction, (cover_u8.shape[0],))
+        alphas = jnp.where(is_stego, a, 0.0).astype(jnp.float32)
+        stego_u8 = embed(cover_u8, alphas, k_embed)
         covers = cover_u8.astype(jnp.float32)[..., None] / 255.0
         inputs = stego_u8.astype(jnp.float32)[..., None] / 255.0
-        a = 0.0 if (stego_method is None or alpha is None) else alpha
-        alphas = jnp.full((cover_u8.shape[0],), a, jnp.float32)
         outputs = model.apply(
             {"params": params}, inputs, deterministic=False,
             rngs={"dropout": dropout_key})
@@ -150,7 +194,9 @@ def train(config: dict, data_path: pathlib.Path, output_dir: pathlib.Path):
     opt_state = replicate(mesh, opt_state)
 
     train_step, eval_step = _make_step(
-        model, loss_fn, optimizer, stego_method, cfg["alpha"])
+        model, loss_fn, optimizer, stego_method, cfg["alpha"],
+        crop=cfg.get("crop"), augment=cfg.get("augment", False),
+        cover_fraction=cfg.get("cover_fraction", 0.5))
 
     df_tr = precovers(data_path, split=cfg["tr_csv"])
     df_va = precovers(data_path, split=cfg["va_csv"])
@@ -162,6 +208,10 @@ def train(config: dict, data_path: pathlib.Path, output_dir: pathlib.Path):
         # reshuffle (parity: per-epoch dataset reshuffle, train.py:254)
         df_ep = df_tr.sample(frac=1.0, random_state=rng.integers(2 ** 31)) \
             if len(df_tr) > 1 else df_tr
+        if cfg.get("steps_per_epoch"):
+            need = cfg["steps_per_epoch"] * cfg["batch_size"]
+            reps = max(1, -(-need // len(df_ep)))
+            df_ep = pd.concat([df_ep] * reps)[:need]
         loss_meter = LossMeter(":.4e")
         progress = ProgressMeter(
             max(1, len(df_ep) // cfg["batch_size"]), [loss_meter],
