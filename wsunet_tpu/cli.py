@@ -135,6 +135,14 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    import os
+    from .utils.profiling import nan_check, profile
+    with profile(os.environ.get("WSUNET_PROFILE")), \
+            nan_check(os.environ.get("WSUNET_DEBUG_NANS") == "1"):
+        return _dispatch(args)
+
+
+def _dispatch(args):
     cmd = args.command
 
     if cmd == "filters-eval":
