@@ -48,3 +48,26 @@ def test_sharded_ws_attack_matches_single_device(data_root):
     # sharded layouts reassociate the reduction; values near the clip-at-0
     # boundary differ by O(1e-8)
     np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.parametrize("weighted", [0, 1])
+def test_spatial_sharded_ws_matches_single_device(weighted, data_root):
+    """Halo-exchanged spatially-sharded WS == single-device ws_attack."""
+    import numpy as np
+    import jax.numpy as jnp
+    from wsunet_tpu.io import imread_gray_u8
+    from wsunet_tpu.ops import NAMED_FILTERS_2D, ws_attack
+    from wsunet_tpu.parallel import get_mesh
+    from wsunet_tpu.parallel.spatial import ws_attack_spatial
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    xs = np.stack([
+        imread_gray_u8(data_root / "images" / f"{i}.png") for i in (6, 7)])
+    x = jnp.asarray(xs)
+    single = np.asarray(ws_attack(
+        x, pixel_kernel=NAMED_FILTERS_2D["KB"], weighted=weighted))
+    mesh = get_mesh(8, axis="spatial")
+    sharded = np.asarray(ws_attack_spatial(
+        x, NAMED_FILTERS_2D["KB"], mesh, axis="spatial", weighted=weighted))
+    np.testing.assert_allclose(sharded, single, rtol=1e-4, atol=1e-6)

@@ -53,3 +53,44 @@ def test_filter_residuals_match_golden_mae(data_root, results_root):
             mae = np.nanmean(np.abs(resid))
             want = row[f"mae_3_{filt}"].dropna().iloc[0]
             np.testing.assert_allclose(mae, want, rtol=1e-5)
+
+
+def test_ols_is_least_squares_optimal(data_root):
+    """The fitted taps minimize SSE by construction: OLS residual SSE must
+    not exceed any fixed 8-tap filter's (KB, AVG) on its training covers."""
+    import numpy as np
+    import jax.numpy as jnp
+    from wsunet_tpu.io import imread_gray_u8
+    from wsunet_tpu.ops import filter_residuals, NAMED_FILTERS
+    from wsunet_tpu.ops.filters import taps_to_kernel2d
+    from wsunet_tpu.ops.ols import ols_kernel2d
+
+    xs = np.stack([imread_gray_u8(data_root / "images" / f"{i}.png")
+                   for i in (6, 7)]).astype("float32")
+    xj = jnp.asarray(xs)
+
+    def sse(k2):
+        return float((np.asarray(filter_residuals(xj, k2)) ** 2).sum())
+
+    sse_ols = sse(ols_kernel2d(xs))
+    for name in ["KB", "AVG"]:
+        assert sse_ols <= sse(taps_to_kernel2d(NAMED_FILTERS[name])) * (1 + 1e-5)
+
+
+def test_ols_beats_avg_on_covers(data_root):
+    import numpy as np
+    import jax.numpy as jnp
+    from wsunet_tpu.io import imread_gray_u8
+    from wsunet_tpu.ops import filter_residuals, NAMED_FILTERS
+    from wsunet_tpu.ops.filters import taps_to_kernel2d
+    from wsunet_tpu.ops.ols import ols_kernel2d
+
+    xs = np.stack([imread_gray_u8(data_root / "images" / f"{i}.png")
+                   for i in (6, 7, 8, 9, 10)]).astype("float32")
+    k_ols = ols_kernel2d(xs)
+    mae_ols = float(np.abs(np.asarray(
+        filter_residuals(jnp.asarray(xs), k_ols))).mean())
+    k_avg = taps_to_kernel2d(NAMED_FILTERS["AVG"])
+    mae_avg = float(np.abs(np.asarray(
+        filter_residuals(jnp.asarray(xs), k_avg))).mean())
+    assert mae_ols < mae_avg, (mae_ols, mae_avg)

@@ -57,6 +57,7 @@ DEFAULT_CONFIG = dict(
     shape=(512, 512),
     tr_csv="split_tr.csv",
     va_csv="split_va.csv",
+    resume=None,
     debug=False,
     compute_dtype="float32",
 )
@@ -187,6 +188,12 @@ def train(config: dict, data_path: pathlib.Path, output_dir: pathlib.Path):
     params = jax.jit(lambda k1, k2, x: model.init(
         {"params": k1, "dropout": k2}, x))(
         init_key, key, jnp.zeros((1, *shape, 1), jnp.float32))["params"]
+    if cfg.get("resume"):
+        from .checkpoint import load_checkpoint
+        resume_dir = (pathlib.Path(output_dir) / (stego_method or "dropout")
+                      / cfg["resume"])
+        params = load_checkpoint(resume_dir, {"params": params}, "best")["params"]
+        log.info(f"resumed params from {resume_dir}")
     opt_state = optimizer.init(params)
 
     mesh = get_mesh()
