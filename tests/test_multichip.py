@@ -71,3 +71,20 @@ def test_spatial_sharded_ws_matches_single_device(weighted, data_root):
     sharded = np.asarray(ws_attack_spatial(
         x, NAMED_FILTERS_2D["KB"], mesh, axis="spatial", weighted=weighted))
     np.testing.assert_allclose(sharded, single, rtol=1e-4, atol=1e-6)
+
+
+def test_distributed_helpers_single_host(data_root):
+    import numpy as np
+    from wsunet_tpu.data import precovers
+    from wsunet_tpu.parallel import get_mesh
+    from wsunet_tpu.parallel.distributed import (
+        distributed_init, global_batch, process_local_rows)
+
+    assert distributed_init() is False  # single host
+    df = precovers(data_root)
+    assert len(process_local_rows(df)) == len(df)
+    mesh = get_mesh()
+    x = np.zeros((8, 16, 16), dtype=np.uint8)
+    arr = global_batch(mesh, x)
+    assert arr.shape == (8, 16, 16)
+    assert len(arr.sharding.device_set) == len(jax.devices())

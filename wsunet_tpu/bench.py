@@ -65,9 +65,12 @@ def run_bench(dtype: str = "bfloat16", iters: int = 20,
 
     for _ in range(warmup):
         jax.block_until_ready(step(pixels))
+    # pipelined dispatch: enqueue all iterations, block once — measures
+    # device throughput, not host-dispatch round-trip latency (which is
+    # large over the tunneled axon transport)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        jax.block_until_ready(step(pixels))
+    results = [step(pixels) for _ in range(iters)]
+    jax.block_until_ready(results)
     dt = time.perf_counter() - t0
 
     ips = batch_size * iters / dt
