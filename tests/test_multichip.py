@@ -88,3 +88,28 @@ def test_distributed_helpers_single_host(data_root):
     arr = global_batch(mesh, x)
     assert arr.shape == (8, 16, 16)
     assert len(arr.sharding.device_set) == len(jax.devices())
+
+
+def test_spatially_sharded_unet_matches_single_device():
+    """XLA auto-partitioned (halo-exchanged) U-Net inference over a
+    spatial mesh axis == single-device inference."""
+    import numpy as np
+    import jax.numpy as jnp
+    from wsunet_tpu.models.unet import UNet
+    from wsunet_tpu.parallel import get_mesh
+    from wsunet_tpu.parallel.spatial import infer_unet_spatial
+    from wsunet_tpu.ws.unet_eval import infer_unet
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    model = UNet(nsteps=1)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 1), jnp.float32))
+    rng = np.random.default_rng(0)
+    # 512-row images sharded 8 ways; use 128x128 to keep CPU time sane
+    x = jnp.asarray(rng.integers(0, 256, (2, 128, 128)).astype("float32"))
+    single = np.asarray(infer_unet(model, variables, x))
+    mesh = get_mesh(8, axis="spatial")
+    sharded = np.asarray(infer_unet_spatial(
+        model, variables, x, mesh, axis="spatial"))
+    np.testing.assert_allclose(sharded, single, rtol=1e-4, atol=1e-3)

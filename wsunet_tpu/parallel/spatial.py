@@ -92,3 +92,28 @@ def ws_attack_spatial(
     x_sharded = jax.device_put(
         x_u8, NamedSharding(mesh, P(None, axis, None)))
     return jax.jit(shard_fn)(x_sharded)
+
+
+def infer_unet_spatial(
+    model,
+    variables,
+    x: jnp.ndarray,
+    mesh: Mesh,
+    axis: str = "data",
+) -> jnp.ndarray:
+    """U-Net inference with the image rows sharded over a mesh axis.
+
+    Uses XLA's automatic spatial partitioning: annotating the input with a
+    row-sharded NamedSharding makes the compiler partition every conv /
+    pool / transpose-conv with halo exchanges over ICI — no manual
+    communication code.  This is the scale-out path for images whose
+    activations exceed one chip (the 64-channel 512x512 f32 encoder
+    activation alone is 64 MB/image).
+
+    x: [B, H, W] f32 pixels (0..255); returns [B, H-2, W-2] predictions.
+    """
+    from ..ws.unet_eval import infer_unet
+
+    sharded = jax.device_put(x, NamedSharding(mesh, P(None, axis, None)))
+    fn = jax.jit(lambda v: infer_unet(model, variables, v))
+    return fn(sharded)
