@@ -1,0 +1,65 @@
+"""Regenerate the full results/ tree with the framework CLI.
+
+Mirrors the reference's README run-book (filters, unet-eval, ws sweep,
+detector, roc, correlation, error boxes, contour, saliency) using the
+fixture data and the locally-trained model zoo.  Run after
+scripts/train_fixture_models.py.
+"""
+
+import pathlib
+import sys
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+DATA = "/root/reference/data"
+
+
+def main():
+    from wsunet_tpu.cli import main as cli
+
+    results = str(REPO / "results")
+    unet_dir = str(REPO / "models/unet")
+    b0_dir = str(REPO / "models/b0")
+
+    steps = [
+        ["filters-eval", "--data", DATA, "--results", results],
+        ["unet-eval", "--data", DATA, "--results", results,
+         "--model-dir", unet_dir, "--stego-method", "LSBR"],
+        ["unet-eval", "--data", DATA, "--results", results,
+         "--model-dir", unet_dir, "--stego-method", "dropout"],
+        ["unet-eval", "--data", DATA, "--results", results,
+         "--model-dir", unet_dir, "--stego-method", "HILLR"],
+        ["ws-eval", "--data", DATA, "--results", results,
+         "--model-dir", unet_dir, "--models", "AVG", "KB", "UNet"],
+        ["detector-eval", "--data", DATA, "--results", results,
+         "--model-dir", b0_dir],
+        ["roc", "--data", DATA, "--results", results,
+         "--unet-model-dir", unet_dir, "--b0-model-dir", b0_dir, "--b0"],
+        ["correlation", "--data", DATA, "--results", results,
+         "--model-dir", unet_dir],
+        ["error-boxes", "--data", DATA, "--results", results,
+         "--model-dir", unet_dir],
+        ["contour", "--data", DATA, "--results", results,
+         "--model-dir", unet_dir],
+        ["saliency", "--data", DATA, "--results", results,
+         "--model-dir", unet_dir, "--stego-method", "LSBR"],
+        ["saliency", "--data", DATA, "--results", results,
+         "--model-dir", unet_dir, "--stego-method", "dropout"],
+    ]
+    failures = []
+    for argv in steps:
+        print(f"\n$ python -m wsunet_tpu {' '.join(argv)}", flush=True)
+        try:
+            cli(argv)
+        except Exception as e:  # keep going; report at the end
+            print(f"FAILED: {type(e).__name__}: {e}", flush=True)
+            failures.append((argv[0], str(e)))
+    print("\n=== done;", len(failures), "failures ===")
+    for name, err in failures:
+        print(" -", name, err)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -37,7 +37,6 @@ def run_bench(dtype: str = "bfloat16", iters: int = 20,
               batch_size: int = 32, warmup: int = 3) -> dict:
     import jax
     import jax.numpy as jnp
-    from .models import get_model
     from .ops import ws_estimate_unet
     from .ws.unet_eval import infer_unet
 

@@ -1,5 +1,4 @@
 """Multi-host runtime helpers.
-
 SURVEY.md §5.8: the reference has no distributed backend at all; the TPU
 equivalent needs no custom transport — ``jax.distributed`` brings up the
 DCN-coordinated runtime, per-host input pipelines feed
@@ -10,7 +9,6 @@ On a single host these helpers are no-ops / pass-throughs, so the same
 training script runs unchanged from a laptop CPU to a multi-host slice.
 """
 
-import typing
 
 import jax
 import numpy as np

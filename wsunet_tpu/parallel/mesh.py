@@ -1,5 +1,4 @@
 """Device mesh and sharding helpers.
-
 The reference has no distributed runtime at all (SURVEY.md §2 P1-P3: joblib
 process pools only).  Here every batched program is mesh-aware from day 1:
 a 1-D ``data`` mesh shards the batch dimension, parameters are replicated,
@@ -8,7 +7,6 @@ when a jitted step is given these shardings.  The same code runs on 1 chip,
 a v5e slice, or a host-device-count-forced CPU for CI.
 """
 
-import typing
 
 import jax
 import numpy as np

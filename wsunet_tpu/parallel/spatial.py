@@ -1,5 +1,4 @@
 """Spatially-sharded WS attack (explicit halo exchange over ICI).
-
 SURVEY.md §5.7 notes the idiomatic TPU equivalent of "context scaling" for
 this workload: halo-exchanged spatial partitioning of the conv grid.  This
 module implements it with ``shard_map``: the image's row dimension is
@@ -13,8 +12,6 @@ for one chip's useful occupancy) scale across a slice.  Numerics match the
 single-device ``ops.ws.ws_attack`` exactly up to reduction order.
 """
 
-import functools
-import typing
 
 import numpy as np
 import jax

@@ -14,7 +14,6 @@ import pathlib
 import shutil
 import typing
 
-import jax
 import orbax.checkpoint as ocp
 
 

@@ -17,7 +17,6 @@ scalars — on a TPU-native loop:
 
 import pathlib
 import time
-import typing
 
 import numpy as np
 import pandas as pd

@@ -15,7 +15,6 @@ import jax.numpy as jnp
 
 from ..data import iterate_batches, precovers, stego_spatial
 from ..ops import NAMED_FILTERS_2D, ws_attack
-from ..utils.registry import get_model_name
 from .unet_eval import get_unet_estimator
 
 
