@@ -30,6 +30,10 @@ def _common(p):
     p.add_argument("--results", type=pathlib.Path,
                    default=pathlib.Path("results"), help="output root")
     p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--split", default=None,
+                   help="restrict to a split CSV (e.g. split_te.csv)")
+    p.add_argument("--take", type=int, default=None,
+                   help="take only the first N images")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -103,7 +107,7 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("error-boxes", help="AE boxplots bucketed by KB error")
     _common(p)
     p.add_argument("--model-dir", type=pathlib.Path, default=None)
-    p.add_argument("--split", default="split_te.csv")
+    p.set_defaults(split="split_te.csv")
 
     p = sub.add_parser("contour", help="difference-image contours")
     _common(p)
@@ -149,7 +153,8 @@ def _dispatch(args):
         from .ws import filters_run
         res = filters_run(args.data, filter_names=args.filters,
                           channels=[(3,)] * len(args.filters),
-                          batch_size=args.batch_size)
+                          batch_size=args.batch_size, split=args.split,
+                          take_num_images=args.take)
         out = args.results / "prediction" / "filters.csv"
         out.parent.mkdir(parents=True, exist_ok=True)
         res.to_csv(out, index=False)
