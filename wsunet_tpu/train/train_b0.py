@@ -36,6 +36,9 @@ log = setup_logger("train_b0")
 
 DEFAULT_CONFIG = dict(
     network="b0",
+    crop=None,            # random-crop size for training batches
+    augment=False,        # random flips + rot90
+    steps_per_epoch=None,  # repeat the (small) catalog to this many steps
     stego_method="LSBR",
     alpha=0.01,
     loss="crossentropy",
@@ -62,6 +65,27 @@ def _make_steps(model, optimizer, cfg):
     stego_method = cfg["stego_method"]
     alpha = cfg["alpha"]
     use_ref = cfg["lsbr_reference"]
+    crop = cfg.get("crop")
+    augment = cfg.get("augment", False)
+
+    def random_crop(x_u8, key):
+        if crop is None or crop >= x_u8.shape[1]:
+            return x_u8
+        B, H, W = x_u8.shape
+        ki, kj = jax.random.split(key)
+        oi = jax.random.randint(ki, (B,), 0, H - crop + 1)
+        oj = jax.random.randint(kj, (B,), 0, W - crop + 1)
+        return jax.vmap(
+            lambda img, i, j: jax.lax.dynamic_slice(img, (i, j), (crop, crop))
+        )(x_u8, oi, oj)
+
+    def augment_batch(x_u8, key):
+        if not augment:
+            return x_u8
+        from ..data.transforms import random_flip, random_rot90
+        kf, kr = jax.random.split(key)
+        x = x_u8[..., None]
+        return random_rot90(random_flip(x, kf), kr)[..., 0]
 
     def embed(cover_u8, key):
         if stego_method.upper().startswith("LSB"):
@@ -75,6 +99,9 @@ def _make_steps(model, optimizer, cfg):
         return normalize(x, IMAGENET_GREEN_MEAN, IMAGENET_GREEN_STD)
 
     def make_pair(cover_u8, key):
+        k_crop, k_aug, key = jax.random.split(key, 3)
+        cover_u8 = random_crop(cover_u8, k_crop)
+        cover_u8 = augment_batch(cover_u8, k_aug)
         stego_u8 = embed(cover_u8, key)
         x = jnp.concatenate([preprocess(cover_u8), preprocess(stego_u8)])
         y = jnp.concatenate([
@@ -164,6 +191,11 @@ def train(config: dict, data_path: pathlib.Path, output_dir: pathlib.Path):
     for epoch in range(cfg["num_epochs"]):
         df_ep = df_tr.sample(frac=1.0, random_state=rng.integers(2 ** 31)) \
             if len(df_tr) > 1 else df_tr
+        if cfg.get("steps_per_epoch"):
+            import pandas as pd
+            need = cfg["steps_per_epoch"] * cfg["batch_size"]
+            reps = max(1, -(-need // len(df_ep)))
+            df_ep = pd.concat([df_ep] * reps)[:need]
         loss_meter = LossMeter(":.4e")
         acc = AccuracyMeter()
         pe, pmd = PEMeter(), PMD5FPMeter()
