@@ -80,11 +80,47 @@ class _MBConv(nn.Module):
         return h
 
 
+def _highpass_stem_init(key, shape, dtype=jnp.float32):
+    """Stem initializer seeding half the filters with steganalysis
+    high-pass kernels (KB, 2nd differences, diagonals), cycled over
+    input channels; the rest stay lecun-normal.
+
+    The reference compensates for the weak from-scratch signal by loading
+    ImageNet hub weights (detector/models.py:42-62) — not possible here
+    (zero egress), so this gives the detector its low-level residual
+    extractors directly; the classic SRM/SRNet fixed-filter trick.
+    """
+    import numpy as np
+
+    kh, kw, cin, cout = shape
+    base = nn.initializers.lecun_normal()(key, shape, dtype)
+    if (kh, kw) != (3, 3):
+        return base
+    kernels = [
+        np.array([[-1, 2, -1], [2, -4, 2], [-1, 2, -1]], np.float32) / 4.0,
+        np.array([[0, 0, 0], [1, -2, 1], [0, 0, 0]], np.float32) / 2.0,
+        np.array([[0, 1, 0], [0, -2, 0], [0, 1, 0]], np.float32) / 2.0,
+        np.array([[1, 0, 0], [0, -2, 0], [0, 0, 1]], np.float32) / 2.0,
+        np.array([[0, 0, 1], [0, -2, 0], [1, 0, 0]], np.float32) / 2.0,
+    ]
+    # build the fixed filters + mask as host constants, then blend into the
+    # random init with jnp.where (this runs inside jit(model.init))
+    fixed = np.zeros(shape, np.float32)
+    mask = np.zeros(shape, bool)
+    for o in range(cout // 2):
+        k = kernels[o % len(kernels)]
+        c = o % cin
+        fixed[:, :, c, o] = k
+        mask[:, :, :, o] = True
+    return jnp.where(jnp.asarray(mask), jnp.asarray(fixed, dtype), base)
+
+
 class EfficientNetB0(nn.Module):
     num_classes: int = 2
     in_channels: int = 1
     no_stem_stride: bool = False
     drop_rate: float = 0.2
+    stem_init: str = "default"  # "default" | "highpass"
     compute_dtype: typing.Any = jnp.float32
 
     @nn.compact
@@ -92,8 +128,11 @@ class EfficientNetB0(nn.Module):
         dt = self.compute_dtype
         x = x.astype(dt)
         stem_stride = (1, 1) if self.no_stem_stride else (2, 2)
+        stem_kernel_init = (_highpass_stem_init if self.stem_init == "highpass"
+                            else nn.initializers.lecun_normal())
         h = nn.Conv(32, (3, 3), strides=stem_stride, padding="SAME",
-                    use_bias=False, dtype=dt, name="conv_stem")(x)
+                    use_bias=False, dtype=dt, name="conv_stem",
+                    kernel_init=stem_kernel_init)(x)
         h = nn.silu(nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                  epsilon=1e-3, dtype=dt, name="bn_stem")(h))
         in_ch = 32
@@ -119,6 +158,7 @@ def get_b0(
     num_classes: int = 2,
     no_stem_stride: bool = False,
     drop_rate: float = 0.2,
+    stem_init: str = "default",
     compute_dtype=jnp.float32,
     **_ignored,
 ) -> EfficientNetB0:
@@ -128,5 +168,6 @@ def get_b0(
         in_channels=in_channels,
         no_stem_stride=no_stem_stride,
         drop_rate=drop_rate,
+        stem_init=stem_init,
         compute_dtype=compute_dtype,
     )

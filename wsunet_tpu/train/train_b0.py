@@ -50,6 +50,7 @@ DEFAULT_CONFIG = dict(
     drop_rate=0.2,
     no_stem_stride=False,
     lsbr_reference=False,
+    stem_init="default",
     demosaic_oracle=False,
     seed=12345,
     shape=(512, 512),
@@ -156,6 +157,7 @@ def train(config: dict, data_path: pathlib.Path, output_dir: pathlib.Path):
         in_channels=in_channels,
         no_stem_stride=cfg["no_stem_stride"],
         drop_rate=cfg["drop_rate"],
+        stem_init=cfg.get("stem_init", "default"),
         compute_dtype=jnp.dtype(cfg["compute_dtype"]))
     optimizer = optax.adamw(cfg["learning_rate"])
 
