@@ -221,8 +221,10 @@ def train(config: dict, data_path: pathlib.Path, output_dir: pathlib.Path):
 
         va_loss = LossMeter()
         va_pe, va_pmd, va_acc = PEMeter(), PMD5FPMeter(), AccuracyMeter()
-        for batch in iterate_batches(data_path, df_va, cfg["batch_size"]):
-            key, ek = jax.random.split(key)
+        # deterministic per-batch val keys (see train_unet note)
+        for vb, batch in enumerate(iterate_batches(
+                data_path, df_va, cfg["batch_size"])):
+            ek = jax.random.fold_in(jax.random.PRNGKey(cfg["seed"] or 0), vb)
             pixels = shard_batch(mesh, jnp.asarray(batch.pixels))
             loss, logits, y = eval_step(params, batch_stats, pixels, ek)
             outputs = jax.nn.softmax(logits, axis=1)[:, 1]

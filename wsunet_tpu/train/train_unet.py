@@ -235,8 +235,12 @@ def train(config: dict, data_path: pathlib.Path, output_dir: pathlib.Path):
         va_meter = LossMeter()
         ws_meter = WSMeter()
         mae_meter = MAEMeter(multiplier=255)
-        for batch in iterate_batches(data_path, df_va, cfg["batch_size"]):
-            key, ek = jax.random.split(key)
+        # deterministic per-batch val keys: the val loss must be an
+        # apples-to-apples series across epochs or early stopping fires
+        # on embedding-sampling noise
+        for vb, batch in enumerate(iterate_batches(
+                data_path, df_va, cfg["batch_size"])):
+            ek = jax.random.fold_in(jax.random.PRNGKey(cfg["seed"] or 0), vb)
             pixels = shard_batch(mesh, jnp.asarray(batch.pixels))
             loss, outputs, inputs = eval_step(params, pixels, ek)
             va_meter.update(float(loss), int(batch.mask.sum()))
