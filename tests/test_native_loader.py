@@ -35,3 +35,24 @@ def test_pipeline_uses_native(data_root):
     np.testing.assert_array_equal(
         batches[0].pixels[1],
         imread_gray_u8(data_root / "images" / "6.png"))
+
+
+def test_pipeline_masks_failed_decodes(tmp_path, data_root):
+    """A corrupt file in a batch is masked out, not fatal (reference
+    analogue: per-image exception -> None -> NaN filtering)."""
+    import shutil
+    import pandas as pd
+    from wsunet_tpu.data import iterate_batches
+
+    d = tmp_path / "images"
+    d.mkdir()
+    shutil.copy(data_root / "images" / "6.png", d / "6.png")
+    (d / "7.png").write_bytes(b"not a png")
+    pd.DataFrame({
+        "name": ["images/6.png", "images/7.png"],
+        "height": [512, 512], "width": [512, 512],
+    }).to_csv(d / "files.csv", index=False)
+    df = pd.read_csv(d / "files.csv")
+    batches = list(iterate_batches(tmp_path, df, batch_size=4))
+    assert len(batches) == 1
+    assert batches[0].mask.tolist() == [True, False, False, False]

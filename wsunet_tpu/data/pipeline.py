@@ -35,15 +35,25 @@ class Batch:
 
 
 def _decode_many(paths, reader, threads: int) -> typing.List[np.ndarray]:
+    """Decode all paths; failed decodes yield None entries (the reference's
+    per-image try/except -> None -> downstream NaN filtering analogue,
+    ws/estimate.py:117-123 / fabrika ignore_missing)."""
     native = _get_native()
     if native is not None and reader is imread_gray_u8:
         out = native.decode_gray_batch([str(p) for p in paths], threads)
         if out is not None:
             return out
+
+    def safe(p):
+        try:
+            return reader(p)
+        except Exception:
+            return None
+
     if threads <= 1 or len(paths) <= 1:
-        return [reader(p) for p in paths]
+        return [safe(p) for p in paths]
     with _futures.ThreadPoolExecutor(max_workers=threads) as pool:
-        return list(pool.map(reader, paths))
+        return list(pool.map(safe, paths))
 
 
 _NATIVE = None
@@ -93,9 +103,21 @@ def iterate_batches(
         stop = min(start + batch_size, n)
         chunk = rows.iloc[start:stop]
         names = list(chunk["name"])
-        pixels = load_images(root, names, reader=reader, threads=threads)
-        pad = batch_size - len(names)
+        paths = [resolve_path(root, nm) for nm in names]
+        decoded = _decode_many(paths, reader, threads)
         mask = np.ones(batch_size, dtype=bool)
+        template = next((d for d in decoded if d is not None), None)
+        if template is None:
+            raise FileNotFoundError(
+                f"no decodable image among {names[:3]}...")
+        imgs = []
+        for i, d in enumerate(decoded):
+            if d is None:
+                mask[i] = False
+                d = np.zeros_like(template)
+            imgs.append(d)
+        pixels = np.stack(imgs)
+        pad = batch_size - len(names)
         if pad:
             pixels = np.concatenate(
                 [pixels, np.repeat(pixels[:1], pad, axis=0)], axis=0)

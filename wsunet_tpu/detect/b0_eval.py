@@ -90,7 +90,8 @@ def _score_frame(root, df, detect, batch_size, threads) -> pd.DataFrame:
         scores = np.asarray(detect(jnp.asarray(
             batch.pixels).astype(jnp.float32)))
         out = batch.rows.copy()
-        out["output"] = scores[: len(out)][batch.mask[: len(out)]]
+        m = batch.mask[: len(out)]
+        out["output"] = np.where(m, scores[: len(out)], np.nan)
         out["prediction"] = out["output"] > 0.5
         frames.append(out)
     return pd.concat(frames).reset_index(drop=True)

@@ -53,7 +53,9 @@ def attack_sweep(
     betas = []
     for batch in iterate_batches(root, df, batch_size, threads=threads):
         b = np.asarray(step(jnp.asarray(batch.pixels)))
-        betas.append(b[: len(batch.rows)][batch.mask[: len(batch.rows)]])
+        vals = b[: len(batch.rows)].astype("float64")
+        vals[~batch.mask[: len(batch.rows)]] = np.nan  # failed decodes
+        betas.append(vals)
     return np.concatenate(betas) if betas else np.array([])
 
 

@@ -86,8 +86,9 @@ def _predict_frame(
         beta, l1 = step(jnp.asarray(batch.pixels))
         beta, l1 = np.asarray(beta), np.asarray(l1)
         out = batch.rows.copy()
-        out["beta_hat"] = beta[: len(out)][batch.mask[: len(out)]]
-        out["l1"] = l1[: len(out)][batch.mask[: len(out)]]
+        m = batch.mask[: len(out)]
+        out["beta_hat"] = np.where(m, beta[: len(out)], np.nan)
+        out["l1"] = np.where(m, l1[: len(out)], np.nan)
         frames.append(out)
     return pd.concat(frames).reset_index(drop=True)
 
