@@ -16,6 +16,18 @@ import typing
 
 import orbax.checkpoint as ocp
 
+# One process-wide checkpointer: constructing a StandardCheckpointer per
+# save leaks background machinery and wedged long training runs after
+# ~30 epochs of per-epoch saves (observed on the axon TPU runtime).
+_CKPTR = None
+
+
+def _checkpointer():
+    global _CKPTR
+    if _CKPTR is None:
+        _CKPTR = ocp.StandardCheckpointer()
+    return _CKPTR
+
 
 def save_config(experiment_dir: pathlib.Path, config: dict):
     experiment_dir = pathlib.Path(experiment_dir)
@@ -38,10 +50,11 @@ def save_checkpoint(
     model_dir = pathlib.Path(experiment_dir) / "model"
     model_dir.mkdir(parents=True, exist_ok=True)
     latest = (model_dir / "latest").resolve()
-    with ocp.StandardCheckpointer() as ckptr:
-        if latest.exists():
-            shutil.rmtree(latest)
-        ckptr.save(latest, state)
+    ckptr = _checkpointer()
+    if latest.exists():
+        shutil.rmtree(latest)
+    ckptr.save(latest, state)
+    ckptr.wait_until_finished()
     if is_best:
         best = (model_dir / "best").resolve()
         if best.exists():
@@ -62,8 +75,7 @@ def load_checkpoint(
     # eval-time templates carry only the subtree they need (e.g. params
     # without opt_state), matching the reference's state_dict-only loads
     # (unet/evaluate.py:185-186).
-    with ocp.StandardCheckpointer() as ckptr:
-        full = ckptr.restore(path)
+    full = _checkpointer().restore(path)
     if isinstance(template, dict):
         return {k: full[k] for k in template}
     return full
