@@ -34,7 +34,7 @@ def _read_cpu_baseline() -> float:
 
 
 def run_bench(dtype: str = "bfloat16", iters: int = 20,
-              batch_size: int = 32, warmup: int = 3) -> dict:
+              batch_size: int = 128, warmup: int = 3) -> dict:
     import jax
     import jax.numpy as jnp
     from .ops import ws_estimate_unet

@@ -171,7 +171,10 @@ def train(config: dict, data_path: pathlib.Path, output_dir: pathlib.Path):
     run_name = time.strftime("%y%m%d%H%M%S") + "-tpu-" + create_run_name(cfg)
     stego_method = cfg["stego_method"]
     exp_dir = pathlib.Path(output_dir) / (stego_method or "dropout") / run_name
-    save_config(exp_dir, {**cfg, "dataset": str(data_path)})
+    # registry label: cover-only (dropout-regularized) runs are registered
+    # under "dropout", matching the reference's models/unet/dropout configs
+    save_config(exp_dir, {**cfg, "dataset": str(data_path),
+                          "stego_method": stego_method or "dropout"})
     writer = MetricWriter(exp_dir / "log")
 
     model = get_model(
