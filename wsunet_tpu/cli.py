@@ -123,6 +123,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--points", type=json.loads,
                    default=[[307, 10], [261, 64], [155, 381], [9, 25]])
 
+    p = sub.add_parser("init-dataset",
+                       help="build files.csv + split CSVs for a cover folder")
+    _common(p)
+    p.add_argument("--images-dir", default="images")
+    p.add_argument("--fractions", nargs=3, type=float, default=[.6, .2, .2])
+
     p = sub.add_parser("simulate", help="generate stego fixture directories")
     _common(p)
     p.add_argument("--method", choices=["LSBr", "HILLr"], default="LSBr")
@@ -263,6 +269,12 @@ def _dispatch(args):
                            args.stego_method,
                            [tuple(p) for p in args.points], out)
         print(f"output saved to {out}")
+
+    elif cmd == "init-dataset":
+        from .data.init_dataset import init_dataset
+        df = init_dataset(args.data, images_dir=args.images_dir,
+                          split_fractions=tuple(args.fractions))
+        print(f"catalogued {len(df)} covers under {args.data}")
 
     elif cmd == "simulate":
         _cmd_simulate(args)
