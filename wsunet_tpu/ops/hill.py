@@ -34,6 +34,18 @@ def _conv_same_symmetric(x: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
     return conv2d_valid(xp, kernel)
 
 
+def _box_same_symmetric(x: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Separable size x size box average with symmetric padding: two 1-D
+    passes instead of a size^2 conv (the 15x15 low-pass dominates HILL's
+    cost otherwise)."""
+    p = size // 2
+    k = np.full((size,), 1.0 / size, "float32")
+    xp = jnp.pad(x, ((0, 0), (p, p), (0, 0)), mode="symmetric")
+    x = conv2d_valid(xp, k.reshape(size, 1))
+    xp = jnp.pad(x, ((0, 0), (0, 0), (p, p)), mode="symmetric")
+    return conv2d_valid(xp, k.reshape(1, size))
+
+
 def hill_cost(x: jnp.ndarray, wet_cost: float = None) -> jnp.ndarray:
     """HILL cost rho for a [B, H, W] (or [H, W]) pixel batch.
 
@@ -45,9 +57,9 @@ def hill_cost(x: jnp.ndarray, wet_cost: float = None) -> jnp.ndarray:
         x = x[None]
     x = x.astype(jnp.float32)
     r = _conv_same_symmetric(x, H_KB)
-    xi = _conv_same_symmetric(jnp.abs(r), np.ones((3, 3), "float32") / 9.0)
+    xi = _box_same_symmetric(jnp.abs(r), 3)
     inv = 1.0 / xi  # inf where xi == 0, as in the reference
-    rho = _conv_same_symmetric(inv, np.ones((15, 15), "float32") / 225.0)
+    rho = _box_same_symmetric(inv, 15)
     if wet_cost is not None:
         bad = jnp.isinf(rho) | jnp.isnan(rho) | (rho > wet_cost)
         rho = jnp.where(bad, wet_cost, rho)
