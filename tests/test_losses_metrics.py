@@ -80,3 +80,40 @@ def test_progress_meter_format():
     lm.update(0.5, 2)
     p = M.ProgressMeter(10, [lm], prefix="Epoch: [0]")
     assert "loss" in p.to_str(3)
+
+
+def test_wauc_meter_reasonable():
+    """wAUC (ALASKA-style) between 0 and 1, higher for a better detector."""
+    rng = np.random.default_rng(4)
+    y = rng.integers(0, 2, 200)
+    good = y + rng.normal(scale=0.3, size=200)
+    bad = rng.uniform(size=200)
+    mg, mb = M.wAUCMeter(), M.wAUCMeter()
+    mg.update(y, good)
+    mb.update(y, bad)
+    assert 0 <= mb.avg <= 1.001
+    assert mg.avg > mb.avg
+
+
+def test_corr_meter_detects_correlation():
+    rng = np.random.default_rng(5)
+    y_true = rng.normal(size=(4, 16, 16, 1))
+    m = M.CorrMeter()
+    m.update(y_true, y_true * 0.5)  # residual perfectly correlated with pred
+    assert m.avg > 0.9
+
+
+def test_mae_meter_masked():
+    m = M.MAEMeter(masked=True)
+    y = np.array([1.0, 2.0, 3.0])
+    p = np.array([0.0, 0.0, 0.0])
+    m.update(y, p, mask=np.array([True, False, True]))
+    assert m.avg == pytest.approx(2.0)
+
+
+def test_pmd5fp_meter():
+    m = M.PMD5FPMeter()
+    y = np.array([0] * 100 + [1] * 100)
+    s = np.concatenate([np.linspace(0, .4, 100), np.linspace(.6, 1, 100)])
+    m.update(y, s)
+    assert m.avg == pytest.approx(0.0)  # perfectly separable

@@ -14,6 +14,7 @@ script per analysis) as subcommands of a single typed CLI:
     python -m wsunet_tpu error-boxes    ~ python error_boxes.py
     python -m wsunet_tpu contour        ~ python contour.py
     python -m wsunet_tpu saliency       ~ python saliency.py
+    python -m wsunet_tpu init-dataset   (new: catalog any cover folder)
     python -m wsunet_tpu simulate       (new: generate stego fixtures)
     python -m wsunet_tpu bench          (new: throughput benchmark)
 """
