@@ -120,7 +120,7 @@ def _make_step(model, loss_fn, optimizer, stego_method, alpha,
         outputs = model.apply(
             {"params": params}, inputs, deterministic=False,
             rngs={"dropout": dropout_key})
-        return loss_fn(outputs, covers, inputs, alphas), (outputs, inputs)
+        return loss_fn(outputs, covers, inputs, alphas), (outputs, inputs, alphas)
 
     @jax.jit
     def train_step(params, opt_state, cover_u8, key, dropout_key):
@@ -132,9 +132,9 @@ def _make_step(model, loss_fn, optimizer, stego_method, alpha,
 
     @jax.jit
     def eval_step(params, cover_u8, key):
-        loss, (outputs, inputs) = compute_loss(
+        loss, (outputs, inputs, alphas) = compute_loss(
             params, cover_u8, key, jax.random.PRNGKey(0))
-        return loss, outputs, inputs
+        return loss, outputs, inputs, alphas
 
     return train_step, eval_step
 
@@ -245,11 +245,11 @@ def train(config: dict, data_path: pathlib.Path, output_dir: pathlib.Path):
                 data_path, df_va, cfg["batch_size"])):
             ek = jax.random.fold_in(jax.random.PRNGKey(cfg["seed"] or 0), vb)
             pixels = shard_batch(mesh, jnp.asarray(batch.pixels))
-            loss, outputs, inputs = eval_step(params, pixels, ek)
+            loss, outputs, inputs, alphas = eval_step(params, pixels, ek)
             va_meter.update(float(loss), int(batch.mask.sum()))
-            a = cfg["alpha"] or 0.0
+            # per-image drawn alphas: half the eval batch is cover
             ws_meter.update(np.asarray(inputs), np.asarray(outputs),
-                            np.full(inputs.shape[0], a))
+                            np.asarray(alphas))
             mae_meter.update(np.asarray(inputs), np.asarray(outputs))
         writer.add_scalar("val/loss", va_meter.avg, epoch)
         writer.add_scalar("val/ws", ws_meter.avg, epoch)
