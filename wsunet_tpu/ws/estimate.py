@@ -79,6 +79,15 @@ def run(
         kernel, estimator = NAMED_FILTERS_2D[model_name], None
         kernel_name = model_name
         out_model_name = model_name
+    elif model_name == "OLS":
+        # least-squares 8-tap filter fitted on this dataset's covers
+        # (completes the reference's OLS sweep surface, ws/roc.py:319)
+        from ..data import load_images
+        from ..ops.ols import ols_kernel2d
+        df_cov = precovers(input_dir)
+        pixels = load_images(input_dir, list(df_cov["name"])).astype("float32")
+        kernel, estimator = ols_kernel2d(pixels), None
+        out_model_name = "OLS"
     else:
         kernel = None
         estimator = get_unet_estimator(model_path, model_name)
