@@ -81,11 +81,11 @@ def order_rows(
     """Deterministic sort-by-name then optional shuffle/skip/take
     (parity: fabrika.py:73-79)."""
     df = df.sort_values("name").reset_index(drop=True)
-    if shuffle_seed:
+    if shuffle_seed is not None:  # seed 0 is a valid shuffle seed
         df = df.sample(frac=1.0, random_state=shuffle_seed)
-    if skip_num_images:
+    if skip_num_images is not None:
         df = df[skip_num_images:]
-    if take_num_images:
+    if take_num_images is not None:
         df = df[:take_num_images]
     return df
 

@@ -34,10 +34,31 @@ class Batch:
     rows: "typing.Any"
 
 
-def _decode_many(paths, reader, threads: int) -> typing.List[np.ndarray]:
+# decoded-image cache for training loops: epochs re-visit the same few
+# covers hundreds of times, and the (single-core) host decode would
+# otherwise dominate the step time.  Keyed by (path, reader name).
+_DECODE_CACHE: dict = {}
+_DECODE_CACHE_MAX = 2048  # images; bounds host RAM for big catalogs
+
+
+def _decode_many(paths, reader, threads: int,
+                 cache: bool = False) -> typing.List[np.ndarray]:
     """Decode all paths; failed decodes yield None entries (the reference's
     per-image try/except -> None -> downstream NaN filtering analogue,
     ws/estimate.py:117-123 / fabrika ignore_missing)."""
+    if cache:
+        keys = [(str(p), reader.__name__) for p in paths]
+        missing = [p for p, k in zip(paths, keys) if k not in _DECODE_CACHE]
+        if missing:
+            decoded = _decode_many(missing, reader, threads, cache=False)
+            if len(_DECODE_CACHE) + len(missing) <= _DECODE_CACHE_MAX:
+                for p, d in zip(missing, decoded):
+                    _DECODE_CACHE[(str(p), reader.__name__)] = d
+            else:  # over budget: serve this batch uncached
+                lookup = {(str(p), reader.__name__): d
+                          for p, d in zip(missing, decoded)}
+                return [_DECODE_CACHE.get(k, lookup.get(k)) for k in keys]
+        return [_DECODE_CACHE[k] for k in keys]
     native = _get_native()
     if native is not None and reader is imread_gray_u8:
         out = native.decode_gray_batch([str(p) for p in paths], threads)
@@ -91,6 +112,7 @@ def iterate_batches(
     reader: typing.Callable = imread_gray_u8,
     threads: int = 8,
     prefetch: int = 1,
+    cache: bool = False,
 ) -> typing.Iterator[Batch]:
     """Yield fixed-size padded Batches over catalog rows, with background
     decode of the next batch overlapping device compute on the current one."""
@@ -104,7 +126,7 @@ def iterate_batches(
         chunk = rows.iloc[start:stop]
         names = list(chunk["name"])
         paths = [resolve_path(root, nm) for nm in names]
-        decoded = _decode_many(paths, reader, threads)
+        decoded = _decode_many(paths, reader, threads, cache=cache)
         mask = np.ones(batch_size, dtype=bool)
         template = next((d for d in decoded if d is not None), None)
         if template is None:

@@ -52,11 +52,16 @@ def hillr_simulate(x_u8: jnp.ndarray, alpha: float) -> jnp.ndarray:
     flat = rho.reshape(B, -1)
     # threshold = n_changes-th smallest cost per image
     kth = jax.lax.top_k(-flat, n_changes)[0][:, -1]  # -(cost threshold)
-    flip = (flat <= -kth[:, None]).reshape(B, H, W)
-    # resolve ties deterministically: keep only the first n_changes in
-    # row-major order among tied-at-threshold pixels
-    order = jnp.cumsum(flip.reshape(B, -1), axis=1)
-    flip = (flip.reshape(B, -1) & (order <= n_changes)).reshape(B, H, W)
+    thresh = -kth[:, None]
+    # every strictly-cheaper pixel flips; ties AT the threshold are resolved
+    # deterministically in row-major order until exactly n_changes flips
+    # (cutting the cumsum over the whole selected set instead would let an
+    # early tied pixel evict a later strictly-cheaper one)
+    below = flat < thresh
+    tied = flat == thresh
+    remaining = n_changes - jnp.sum(below, axis=1, keepdims=True)
+    tie_order = jnp.cumsum(tied, axis=1)
+    flip = (below | (tied & (tie_order <= remaining))).reshape(B, H, W)
     x = x_u8.astype(jnp.uint8)
     return jnp.where(flip, jnp.bitwise_xor(x, jnp.uint8(1)), x)
 

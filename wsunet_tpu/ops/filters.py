@@ -50,6 +50,9 @@ NAMED_FILTERS = {
     "KB": np.array([[-1], [+2], [-1], [+2], [-1], [+2], [-1], [+2]],
                    dtype="float64") / 4.0,
     "AVG": np.ones((8, 1), dtype="float64") / 8.0,
+    # 9-tap variants carry an explicit center coefficient (last entry)
+    "AVG9": np.ones((9, 1), dtype="float64") / 9.0,
+    "1": np.array([[0]] * 8 + [[1]], dtype="float64"),
 }
 
 

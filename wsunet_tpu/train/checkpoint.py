@@ -41,25 +41,46 @@ def load_config(experiment_dir: pathlib.Path) -> dict:
         return json.load(f)
 
 
+def _replace_dir(src: pathlib.Path, dst: pathlib.Path):
+    """Atomically swap ``dst`` for ``src`` (rename, never a window with no
+    usable checkpoint on disk: a crash mid-save must not destroy the last
+    good ``latest`` — the exact long-run scenario checkpoints exist for)."""
+    old = dst.with_name(dst.name + ".old")
+    if old.exists():
+        shutil.rmtree(old)
+    if dst.exists():
+        dst.rename(old)
+    src.rename(dst)
+    if old.exists():
+        shutil.rmtree(old)
+
+
 def save_checkpoint(
     experiment_dir: pathlib.Path,
     state: typing.Any,
     is_best: bool = False,
 ):
-    """Write ``model/latest``; copy to ``model/best`` when ``is_best``."""
+    """Write ``model/latest``; copy to ``model/best`` when ``is_best``.
+
+    Both writes go to a temp sibling first and are renamed into place, so
+    an interrupted save leaves the previous checkpoint intact."""
     model_dir = pathlib.Path(experiment_dir) / "model"
     model_dir.mkdir(parents=True, exist_ok=True)
     latest = (model_dir / "latest").resolve()
+    tmp = (model_dir / "latest.tmp").resolve()
     ckptr = _checkpointer()
-    if latest.exists():
-        shutil.rmtree(latest)
-    ckptr.save(latest, state)
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    ckptr.save(tmp, state)
     ckptr.wait_until_finished()
+    _replace_dir(tmp, latest)
     if is_best:
         best = (model_dir / "best").resolve()
-        if best.exists():
-            shutil.rmtree(best)
-        shutil.copytree(latest, best)
+        best_tmp = (model_dir / "best.tmp").resolve()
+        if best_tmp.exists():
+            shutil.rmtree(best_tmp)
+        shutil.copytree(latest, best_tmp)
+        _replace_dir(best_tmp, best)
 
 
 def load_checkpoint(

@@ -17,6 +17,43 @@ import jax.numpy as jnp
 from ..ops.ws import ws_estimate_inloss
 
 
+def _image_axes(x):
+    return tuple(range(1, x.ndim))
+
+
+def l1_loss_per_image(outputs, covers, *_, **__):
+    return jnp.mean(jnp.abs(covers - outputs), axis=_image_axes(outputs))
+
+
+def l2_loss_per_image(outputs, covers, *_, **__):
+    return jnp.mean((covers - outputs) ** 2, axis=_image_axes(outputs))
+
+
+def ws_loss_per_image(outputs, covers, inputs, alphas):
+    betas = alphas / 2.0
+    betas_hat = ws_estimate_inloss(inputs, outputs)
+    return jnp.abs(betas_hat - betas)
+
+
+def l1ws_loss_per_image(outputs, covers, inputs, alphas):
+    return (l1_loss_per_image(outputs, covers)
+            + ws_loss_per_image(outputs, covers, inputs, alphas))
+
+
+_PER_IMAGE = {
+    "l1": l1_loss_per_image,
+    "l2": l2_loss_per_image,
+    "ws": ws_loss_per_image,
+    "l1ws": l1ws_loss_per_image,
+}
+
+
+def _scalarize(fn):
+    def loss(outputs, covers, inputs=None, alphas=None):
+        return jnp.mean(fn(outputs, covers, inputs, alphas))
+    return loss
+
+
 def l1_loss(outputs, covers, *_, **__):
     return jnp.mean(jnp.abs(covers - outputs))
 
@@ -26,9 +63,7 @@ def l2_loss(outputs, covers, *_, **__):
 
 
 def ws_loss(outputs, covers, inputs, alphas):
-    betas = alphas / 2.0
-    betas_hat = ws_estimate_inloss(inputs, outputs)
-    return jnp.mean(jnp.abs(betas_hat - betas))
+    return jnp.mean(ws_loss_per_image(outputs, covers, inputs, alphas))
 
 
 def l1ws_loss(outputs, covers, inputs, alphas):
@@ -43,8 +78,12 @@ _LOSSES = {
 }
 
 
-def get_loss(name: str):
+def get_loss(name: str, per_image: bool = False):
+    """Loss by name; ``per_image=True`` returns the unreduced [B] variant so
+    trainers can mask padded/failed-decode rows out of the mean (the scalar
+    variants are the reference-parity batch means, _defs/losses.py:28-121)."""
+    table = _PER_IMAGE if per_image else _LOSSES
     try:
-        return _LOSSES[name]
+        return table[name]
     except KeyError:
         raise NotImplementedError(f"loss {name!r} not implemented") from None

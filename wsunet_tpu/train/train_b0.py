@@ -40,9 +40,11 @@ DEFAULT_CONFIG = dict(
     augment=False,        # random flips + rot90
     steps_per_epoch=None,  # repeat the (small) catalog to this many steps
     stego_method="LSBR",
-    alpha=0.01,
+    alpha=0.01,           # scalar, or a list -> per-image uniform draw
     loss="crossentropy",
     learning_rate=1e-4,
+    lr_schedule=None,      # None (constant) | "cosine"
+    select_metric="loss",  # checkpoint selection: "loss" | "p_e"
     batch_size=8,
     num_epochs=50,
     patience=5,
@@ -88,9 +90,28 @@ def _make_steps(model, optimizer, cfg):
         x = x_u8[..., None]
         return random_rot90(random_flip(x, kf), kr)[..., 0]
 
-    def embed(cover_u8, key):
+    def draw_alphas(B, key):
+        """Per-image embedding rate; a list config trains one detector over
+        a rate mixture (the curriculum substitute for the reference's
+        resume-from-higher-alpha warm start, config.json "resume")."""
+        if isinstance(alpha, (list, tuple)):
+            rates = jnp.asarray(alpha, jnp.float32)
+            return rates[jax.random.randint(key, (B,), 0, len(rates))]
+        return jnp.full((B,), float(alpha), jnp.float32)
+
+    def embed(cover_u8, alphas, key):
         if stego_method.upper().startswith("LSB"):
-            return lsbr_simulate(cover_u8, alpha, key)
+            return lsbr_simulate(cover_u8, alphas, key)
+        if isinstance(alpha, (list, tuple)):
+            # hillr flips a static count per rate: compute each candidate
+            # (len(alpha) static top_k passes) and select per image
+            rates = jnp.asarray(alpha, jnp.float32)
+            idx = jnp.argmin(jnp.abs(rates[:, None] - alphas[None, :]), axis=0)
+            out = cover_u8
+            for i, a in enumerate(alpha):
+                out = jnp.where((idx == i)[:, None, None],
+                                hillr_simulate(cover_u8, float(a)), out)
+            return out
         return hillr_simulate(cover_u8, float(alpha))
 
     def preprocess(x_u8):
@@ -99,18 +120,20 @@ def _make_steps(model, optimizer, cfg):
             x = lsbr_reference_tf(x)
         return normalize(x, IMAGENET_GREEN_MEAN, IMAGENET_GREEN_STD)
 
-    def make_pair(cover_u8, key):
-        k_crop, k_aug, key = jax.random.split(key, 3)
+    def make_pair(cover_u8, mask, key):
+        k_crop, k_aug, k_alpha, key = jax.random.split(key, 4)
         cover_u8 = random_crop(cover_u8, k_crop)
         cover_u8 = augment_batch(cover_u8, k_aug)
-        stego_u8 = embed(cover_u8, key)
+        alphas = draw_alphas(cover_u8.shape[0], k_alpha)
+        stego_u8 = embed(cover_u8, alphas, key)
         x = jnp.concatenate([preprocess(cover_u8), preprocess(stego_u8)])
         y = jnp.concatenate([
             jnp.zeros(cover_u8.shape[0], jnp.int32),
             jnp.ones(cover_u8.shape[0], jnp.int32)])
-        return x, y
+        w = jnp.concatenate([mask, mask]).astype(jnp.float32)
+        return x, y, w
 
-    def loss_fn(params, batch_stats, x, y, dropout_key, train):
+    def loss_fn(params, batch_stats, x, y, w, dropout_key, train):
         variables = {"params": params, "batch_stats": batch_stats}
         if train:
             logits, mutated = model.apply(
@@ -120,24 +143,28 @@ def _make_steps(model, optimizer, cfg):
         else:
             logits = model.apply(variables, x, train=False)
             new_stats = batch_stats
-        loss = optax.softmax_cross_entropy_with_integer_labels(
-            logits, y).mean()
+        ce = optax.softmax_cross_entropy_with_integer_labels(logits, y)
+        # masked mean: padded tail rows must not steer gradients or the
+        # early-stopping validation loss
+        loss = jnp.sum(ce * w) / jnp.maximum(jnp.sum(w), 1.0)
         return loss, (logits, new_stats)
 
     @jax.jit
-    def train_step(params, batch_stats, opt_state, cover_u8, key, dropout_key):
-        x, y = make_pair(cover_u8, key)
+    def train_step(params, batch_stats, opt_state, cover_u8, mask, key,
+                   dropout_key):
+        x, y, w = make_pair(cover_u8, mask, key)
         (loss, (logits, batch_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params, batch_stats, x, y, dropout_key, True)
+            loss_fn, has_aux=True)(
+            params, batch_stats, x, y, w, dropout_key, True)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, batch_stats, opt_state, loss, logits, y
 
     @jax.jit
-    def eval_step(params, batch_stats, cover_u8, key):
-        x, y = make_pair(cover_u8, key)
+    def eval_step(params, batch_stats, cover_u8, mask, key):
+        x, y, w = make_pair(cover_u8, mask, key)
         loss, (logits, _) = loss_fn(
-            params, batch_stats, x, y, jax.random.PRNGKey(0), False)
+            params, batch_stats, x, y, w, jax.random.PRNGKey(0), False)
         return loss, logits, y
 
     return train_step, eval_step
@@ -159,7 +186,13 @@ def train(config: dict, data_path: pathlib.Path, output_dir: pathlib.Path):
         drop_rate=cfg["drop_rate"],
         stem_init=cfg.get("stem_init", "default"),
         compute_dtype=jnp.dtype(cfg["compute_dtype"]))
-    optimizer = optax.adamw(cfg["learning_rate"])
+
+    df_tr = precovers(data_path, split=cfg["tr_csv"])
+    df_va = precovers(data_path, split=cfg["va_csv"])
+    steps_per_epoch = cfg.get("steps_per_epoch") or max(
+        1, len(df_tr) // cfg["batch_size"])
+    from .train_unet import make_optimizer
+    optimizer = make_optimizer(cfg, steps_per_epoch)
 
     key = jax.random.PRNGKey(cfg["seed"] or 0)
     key, init_key, drop_key = jax.random.split(key, 3)
@@ -184,8 +217,6 @@ def train(config: dict, data_path: pathlib.Path, output_dir: pathlib.Path):
 
     train_step, eval_step = _make_steps(model, optimizer, cfg)
 
-    df_tr = precovers(data_path, split=cfg["tr_csv"])
-    df_va = precovers(data_path, split=cfg["va_csv"])
     rng = np.random.default_rng(cfg["seed"])
 
     best_val_loss = np.inf
@@ -204,17 +235,19 @@ def train(config: dict, data_path: pathlib.Path, output_dir: pathlib.Path):
         progress = ProgressMeter(
             max(1, len(df_ep) // cfg["batch_size"]),
             [loss_meter, pe, pmd, acc], prefix=f"Epoch: [{epoch}]")
-        for batch in iterate_batches(data_path, df_ep, cfg["batch_size"]):
+        for batch in iterate_batches(data_path, df_ep, cfg["batch_size"], cache=True):
             key, ek, dk = jax.random.split(key, 3)
-            pixels = shard_batch(mesh, jnp.asarray(batch.pixels))
+            pixels, mask = shard_batch(
+                mesh, (jnp.asarray(batch.pixels), jnp.asarray(batch.mask)))
             params, batch_stats, opt_state, loss, logits, y = train_step(
-                params, batch_stats, opt_state, pixels, ek, dk)
+                params, batch_stats, opt_state, pixels, mask, ek, dk)
             outputs = jax.nn.softmax(logits, axis=1)[:, 1]
-            loss_meter.update(float(loss), int(y.shape[0]))
-            y_np = np.asarray(y)
-            acc.update(y_np, np.asarray(jnp.argmax(logits, axis=1)))
-            pe.update(y_np, np.asarray(outputs))
-            pmd.update(y_np, np.asarray(outputs))
+            m = np.concatenate([batch.mask, batch.mask])
+            loss_meter.update(float(loss), int(m.sum()))
+            y_np = np.asarray(y)[m]
+            acc.update(y_np, np.asarray(jnp.argmax(logits, axis=1))[m])
+            pe.update(y_np, np.asarray(outputs)[m])
+            pmd.update(y_np, np.asarray(outputs)[m])
         log.info(progress.to_str(0))
         for m in [loss_meter, pe, pmd, acc]:
             writer.add_scalar(f"train/{m.name}", m.avg, epoch)
@@ -223,22 +256,25 @@ def train(config: dict, data_path: pathlib.Path, output_dir: pathlib.Path):
         va_pe, va_pmd, va_acc = PEMeter(), PMD5FPMeter(), AccuracyMeter()
         # deterministic per-batch val keys (see train_unet note)
         for vb, batch in enumerate(iterate_batches(
-                data_path, df_va, cfg["batch_size"])):
+                data_path, df_va, cfg["batch_size"], cache=True)):
             ek = jax.random.fold_in(jax.random.PRNGKey(cfg["seed"] or 0), vb)
-            pixels = shard_batch(mesh, jnp.asarray(batch.pixels))
-            loss, logits, y = eval_step(params, batch_stats, pixels, ek)
+            pixels, mask = shard_batch(
+                mesh, (jnp.asarray(batch.pixels), jnp.asarray(batch.mask)))
+            loss, logits, y = eval_step(params, batch_stats, pixels, mask, ek)
             outputs = jax.nn.softmax(logits, axis=1)[:, 1]
-            va_loss.update(float(loss), int(y.shape[0]))
-            y_np = np.asarray(y)
-            va_acc.update(y_np, np.asarray(jnp.argmax(logits, axis=1)))
-            va_pe.update(y_np, np.asarray(outputs))
-            va_pmd.update(y_np, np.asarray(outputs))
+            m = np.concatenate([batch.mask, batch.mask])
+            va_loss.update(float(loss), int(m.sum()))
+            y_np = np.asarray(y)[m]
+            va_acc.update(y_np, np.asarray(jnp.argmax(logits, axis=1))[m])
+            va_pe.update(y_np, np.asarray(outputs)[m])
+            va_pmd.update(y_np, np.asarray(outputs)[m])
         for m in [va_loss, va_pe, va_pmd, va_acc]:
             writer.add_scalar(f"val/{m.name}", m.avg, epoch)
         log.info(f"epoch {epoch}: val loss {va_loss.avg:.5f} "
                  f"p_e {va_pe.avg:.3f} acc {va_acc.avg:.3f}")
 
-        val_loss = va_loss.avg
+        val_loss = (va_pe.avg if cfg.get("select_metric") == "p_e"
+                    else va_loss.avg)
         state = {"params": params, "batch_stats": batch_stats,
                  "opt_state": opt_state, "epoch": epoch,
                  "best_val_loss": float(best_val_loss), "patience": patience}

@@ -46,6 +46,8 @@ DEFAULT_CONFIG = dict(
     loss="l1ws",
     loss_lambda=0.25,
     learning_rate=1e-4,
+    lr_schedule=None,      # None (constant) | "cosine" (warmup + decay)
+    select_metric="loss",  # checkpoint selection: "loss" | "ws" (val WS MAE)
     batch_size=8,
     num_epochs=50,
     patience=10,
@@ -103,7 +105,7 @@ def _make_step(model, loss_fn, optimizer, stego_method, alpha,
         stego = hillr_simulate(cover_u8, float(alpha))
         return jnp.where((alphas > 0)[:, None, None], stego, cover_u8)
 
-    def compute_loss(params, cover_u8, key, dropout_key):
+    def compute_loss(params, cover_u8, mask, key, dropout_key):
         k_crop, k_aug, k_cover, k_embed = jax.random.split(key, 4)
         cover_u8 = random_crop(cover_u8, k_crop)
         cover_u8 = augment_batch(cover_u8, k_aug)
@@ -120,23 +122,45 @@ def _make_step(model, loss_fn, optimizer, stego_method, alpha,
         outputs = model.apply(
             {"params": params}, inputs, deterministic=False,
             rngs={"dropout": dropout_key})
-        return loss_fn(outputs, covers, inputs, alphas), (outputs, inputs, alphas)
+        # masked mean: padded tail rows / failed decodes must not steer
+        # gradients or the early-stopping validation loss
+        per_image = loss_fn(outputs, covers, inputs, alphas)
+        w = mask.astype(per_image.dtype)
+        loss = jnp.sum(per_image * w) / jnp.maximum(jnp.sum(w), 1.0)
+        return loss, (outputs, inputs, alphas)
 
     @jax.jit
-    def train_step(params, opt_state, cover_u8, key, dropout_key):
+    def train_step(params, opt_state, cover_u8, mask, key, dropout_key):
         (loss, _), grads = jax.value_and_grad(
-            compute_loss, has_aux=True)(params, cover_u8, key, dropout_key)
+            compute_loss, has_aux=True)(
+            params, cover_u8, mask, key, dropout_key)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
     @jax.jit
-    def eval_step(params, cover_u8, key):
+    def eval_step(params, cover_u8, mask, key):
         loss, (outputs, inputs, alphas) = compute_loss(
-            params, cover_u8, key, jax.random.PRNGKey(0))
+            params, cover_u8, mask, key, jax.random.PRNGKey(0))
         return loss, outputs, inputs, alphas
 
     return train_step, eval_step
+
+
+def make_optimizer(cfg: dict, steps_per_epoch: int):
+    """AdamW, optionally under a warmup+cosine-decay schedule
+    (``lr_schedule: "cosine"``; the reference used constant LR throughout,
+    detector/train.py:224-228 — the schedule is a quality lever for the
+    tiny-corpus regime, not a parity item)."""
+    lr = cfg["learning_rate"]
+    if cfg.get("lr_schedule") == "cosine":
+        total = max(1, steps_per_epoch * cfg["num_epochs"])
+        warmup = min(total // 20, 2 * steps_per_epoch)
+        lr = optax.warmup_cosine_decay_schedule(
+            0.0, lr, warmup, total, end_value=lr * 0.01)
+    elif cfg.get("lr_schedule"):
+        raise NotImplementedError(f"lr_schedule {cfg['lr_schedule']!r}")
+    return optax.adamw(lr)
 
 
 class MetricWriter:
@@ -181,8 +205,13 @@ def train(config: dict, data_path: pathlib.Path, output_dir: pathlib.Path):
         cfg["network"], drop_rate=cfg["drop_rate"],
         disable_center=cfg["disable_center"],
         compute_dtype=jnp.dtype(cfg["compute_dtype"]))
-    loss_fn = get_loss(cfg["loss"])
-    optimizer = optax.adamw(cfg["learning_rate"])
+    loss_fn = get_loss(cfg["loss"], per_image=True)
+
+    df_tr = precovers(data_path, split=cfg["tr_csv"])
+    df_va = precovers(data_path, split=cfg["va_csv"])
+    steps_per_epoch = cfg.get("steps_per_epoch") or max(
+        1, len(df_tr) // cfg["batch_size"])
+    optimizer = make_optimizer(cfg, steps_per_epoch)
 
     key = jax.random.PRNGKey(cfg["seed"] or 0)
     key, init_key = jax.random.split(key)
@@ -207,8 +236,6 @@ def train(config: dict, data_path: pathlib.Path, output_dir: pathlib.Path):
         crop=cfg.get("crop"), augment=cfg.get("augment", False),
         cover_fraction=cfg.get("cover_fraction", 0.5))
 
-    df_tr = precovers(data_path, split=cfg["tr_csv"])
-    df_va = precovers(data_path, split=cfg["va_csv"])
     rng = np.random.default_rng(cfg["seed"])
 
     best_val_loss = np.inf
@@ -226,10 +253,12 @@ def train(config: dict, data_path: pathlib.Path, output_dir: pathlib.Path):
             max(1, len(df_ep) // cfg["batch_size"]), [loss_meter],
             prefix=f"Epoch: [{epoch}]")
         for i, batch in enumerate(iterate_batches(
-                data_path, df_ep, cfg["batch_size"])):
+                data_path, df_ep, cfg["batch_size"], cache=True)):
             key, ek, dk = jax.random.split(key, 3)
-            pixels = shard_batch(mesh, jnp.asarray(batch.pixels))
-            params, opt_state, loss = train_step(params, opt_state, pixels, ek, dk)
+            pixels, mask = shard_batch(
+                mesh, (jnp.asarray(batch.pixels), jnp.asarray(batch.mask)))
+            params, opt_state, loss = train_step(
+                params, opt_state, pixels, mask, ek, dk)
             loss_meter.update(float(loss), int(batch.mask.sum()))
         log.info(progress.to_str(0))
         writer.add_scalar("train/loss", loss_meter.avg, epoch)
@@ -242,22 +271,26 @@ def train(config: dict, data_path: pathlib.Path, output_dir: pathlib.Path):
         # apples-to-apples series across epochs or early stopping fires
         # on embedding-sampling noise
         for vb, batch in enumerate(iterate_batches(
-                data_path, df_va, cfg["batch_size"])):
+                data_path, df_va, cfg["batch_size"], cache=True)):
             ek = jax.random.fold_in(jax.random.PRNGKey(cfg["seed"] or 0), vb)
-            pixels = shard_batch(mesh, jnp.asarray(batch.pixels))
-            loss, outputs, inputs, alphas = eval_step(params, pixels, ek)
+            pixels, mask = shard_batch(
+                mesh, (jnp.asarray(batch.pixels), jnp.asarray(batch.mask)))
+            loss, outputs, inputs, alphas = eval_step(params, pixels, mask, ek)
             va_meter.update(float(loss), int(batch.mask.sum()))
-            # per-image drawn alphas: half the eval batch is cover
-            ws_meter.update(np.asarray(inputs), np.asarray(outputs),
-                            np.asarray(alphas))
-            mae_meter.update(np.asarray(inputs), np.asarray(outputs))
+            # per-image drawn alphas: half the eval batch is cover;
+            # meters see only the valid (non-padded) rows
+            m = batch.mask
+            ws_meter.update(np.asarray(inputs)[m], np.asarray(outputs)[m],
+                            np.asarray(alphas)[m])
+            mae_meter.update(np.asarray(inputs)[m], np.asarray(outputs)[m])
         writer.add_scalar("val/loss", va_meter.avg, epoch)
         writer.add_scalar("val/ws", ws_meter.avg, epoch)
         writer.add_scalar("val/mae", mae_meter.avg, epoch)
         log.info(f"epoch {epoch}: val loss {va_meter.avg:.5f} "
                  f"ws {ws_meter.avg:.5f} mae255 {mae_meter.avg:.3f}")
 
-        val_loss = va_meter.avg
+        val_loss = (ws_meter.avg if cfg.get("select_metric") == "ws"
+                    else va_meter.avg)
         state = {"params": params, "opt_state": opt_state,
                  "epoch": epoch, "best_val_loss": float(best_val_loss),
                  "patience": patience}

@@ -30,10 +30,14 @@ def scan_models(
         if not (cfg_file.parent / "model" / "best").exists():
             continue
         alpha = config.get("alpha")
+        if isinstance(alpha, (list, tuple)):  # rate-mixture run
+            alpha = "mix" + "-".join(str(a) for a in alpha)
+        elif alpha:
+            alpha = float(alpha)
         rows.append({
             "model_name": cfg_file.parent.name,
             "stego_method": config.get("stego_method"),
-            "alpha": float(alpha) if alpha else alpha,
+            "alpha": alpha,
             "loss": config.get("loss"),
             "network": config.get("network"),
             "drop_rate": config.get("drop_rate"),

@@ -14,7 +14,10 @@ def create_run_name(args: typing.Dict[str, typing.Any]) -> str:
         run_name += "-nostride"
     run_name += "-"
     if args.get("alpha"):
-        run_name += f"alpha_{args['alpha']}_"
+        alpha = args["alpha"]
+        if isinstance(alpha, (list, tuple)):  # rate-mixture training
+            alpha = "mix" + "-".join(str(a) for a in alpha)
+        run_name += f"alpha_{alpha}_"
     if args.get("grayscale"):
         run_name += "grayscale_"
     else:

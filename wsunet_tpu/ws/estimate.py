@@ -70,10 +70,16 @@ def run(
     correct_bias: bool = False,
     batch_size: int = 8,
     threads: int = 8,
+    split: str = None,
+    take_num_images: int = None,
+    model_label: str = None,
 ) -> pd.DataFrame:
     """One (stego_method, alpha, model) attack configuration
     (parity: ws/estimate.py:149-205; model_name in the named filters picks
-    the fused kernel path, anything else resolves a trained U-Net)."""
+    the fused kernel path, anything else resolves a trained U-Net;
+    ``model_label`` overrides the output model_name column, matching the
+    reference's UNet_l1 / UNet_l1ws_<method> sweep labels,
+    ws/estimate.py:264-267)."""
     kernel_name = None
     if model_name in NAMED_FILTERS_2D:
         kernel, estimator = NAMED_FILTERS_2D[model_name], None
@@ -93,10 +99,12 @@ def run(
         estimator = get_unet_estimator(model_path, model_name)
         out_model_name = "UNet"
 
+    select = dict(split=split, take_num_images=take_num_images)
     if stego_method:
-        df = stego_spatial(input_dir, stego_method=stego_method, alpha=alpha)
+        df = stego_spatial(input_dir, stego_method=stego_method, alpha=alpha,
+                           **select)
     else:
-        df = precovers(input_dir)
+        df = precovers(input_dir, **select)
 
     betas = attack_sweep(
         input_dir, df, pixel_kernel=kernel, pixel_estimator=estimator,
