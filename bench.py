@@ -13,8 +13,9 @@ from wsunet_tpu.bench import run_bench
 
 def main():
     out = run_bench()
-    print(json.dumps({k: out[k] for k in
-                      ("metric", "value", "unit", "vs_baseline")}))
+    keys = ["metric", "value", "unit", "vs_baseline", "mfu",
+            "flops_per_image", "tflops_per_sec", "ws_fused"]
+    print(json.dumps({k: out[k] for k in keys if k in out}))
 
 
 if __name__ == "__main__":

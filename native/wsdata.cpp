@@ -24,11 +24,12 @@
 
 namespace {
 
-// BT.601 luma in 14-bit fixed point, the same coefficients OpenCV uses.
-constexpr int kShift = 14;
-constexpr int kRY = 4899;   // 0.299 * 2^14
-constexpr int kGY = 9617;   // 0.587 * 2^14
-constexpr int kBY = 1868;   // 0.114 * 2^14
+// BT.601 luma in 15-bit fixed point, the same coefficients OpenCV uses
+// (imgproc color_lut.hpp; cv2 >= 5 descales at shift 15, not 14).
+constexpr int kShift = 15;
+constexpr int kRY = 9798;   // 0.299 * 2^15
+constexpr int kGY = 19235;  // 0.587 * 2^15
+constexpr int kBY = 3735;   // 0.114 * 2^15
 constexpr int kRound = 1 << (kShift - 1);
 
 inline uint8_t rgb_to_gray(uint8_t r, uint8_t g, uint8_t b) {

@@ -9,16 +9,23 @@ TPU tunnel).
 
 import os
 
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
+# WSUNET_TEST_TPU=1 opts into running on the real accelerator (used by the
+# TPU-gated parity tests, e.g. tests/test_tpu_pallas_parity.py); default is
+# the hermetic 8-device virtual CPU mesh.
+_USE_TPU = os.environ.get("WSUNET_TEST_TPU") == "1"
+
+if not _USE_TPU:
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8").strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-assert jax.default_backend() == "cpu", jax.default_backend()
+if not _USE_TPU:
+    jax.config.update("jax_platforms", "cpu")
+    assert jax.default_backend() == "cpu", jax.default_backend()
 
 import pathlib
 

@@ -44,8 +44,9 @@ def pair_correlation(
     return float(cor), float(pval)
 
 
-def _pairs_frame(data_path, stego_method, alpha):
-    df = cover_stego_pairs(data_path, stego_method=stego_method, alpha=alpha)
+def _pairs_frame(data_path, stego_method, alpha, **order_kw):
+    df = cover_stego_pairs(data_path, stego_method=stego_method, alpha=alpha,
+                           **order_kw)
     return df[~df["name_s"].isna()]
 
 
@@ -57,10 +58,13 @@ def run_correlation(
     stego_method: str = "LSBR",
     alpha: float = 1.0,
     orthodox: bool = False,
+    split: str = None,
+    take_num_images: int = None,
 ) -> typing.Tuple[pd.DataFrame, pd.DataFrame]:
     """Sweep filters + trained U-Nets; returns (per-pair df, median table)
     (parity: correlation.py __main__ -> results/estimation/correlation.csv)."""
-    df = _pairs_frame(data_path, stego_method, alpha)
+    df = _pairs_frame(data_path, stego_method, alpha, split=split,
+                      take_num_images=take_num_images)
     covers = load_images(data_path, list(df["name_c"])).astype("float32")
     stegos = load_images(data_path, list(df["name_s"])).astype("float32")
 

@@ -10,6 +10,15 @@ The timed region is the steady-state device pipeline on synthetic data
 (uint8 batch resident in HBM, one scalar per image back), i.e. the same
 boundary the reference times implicitly: its per-image python loop also
 excludes PNG decode when images are cached.
+
+Also reported:
+- ``mfu``: model-FLOPs utilization — XLA's own cost analysis of the
+  compiled step (flops per execution) divided by the device's peak;
+  regressions in compute efficiency are visible even when img/s moves
+  with batch size.
+- ``ws_fused``: on-TPU throughput AND numerics of the fused Pallas WS
+  kernel vs the XLA path (the kernel auto-dispatches on TPU, so its
+  parity is asserted on the hardware that actually runs it).
 """
 
 import json
@@ -19,6 +28,25 @@ import time
 import numpy as np
 
 _DEFAULT_CPU_BASELINE = 0.2957535109920724  # images/sec, BASELINE_cpu.json
+
+# peak dense-matmul throughput per chip, bf16 (f32 on MXU lowers to bf16
+# passes on these parts); conservative public numbers
+_PEAK_FLOPS = {
+    "v5 lite": 197e12, "v5e": 197e12, "v5litepod": 197e12,
+    "v5p": 459e12,
+    "v4": 275e12,
+    "v3": 123e12,
+    "v2": 45e12,
+    "v6e": 918e12, "trillium": 918e12,
+}
+
+
+def _peak_flops(device) -> float:
+    kind = getattr(device, "device_kind", "").lower()
+    for key, val in _PEAK_FLOPS.items():
+        if key in kind:
+            return val
+    return None
 
 
 def _read_cpu_baseline() -> float:
@@ -31,6 +59,54 @@ def _read_cpu_baseline() -> float:
             except Exception:
                 pass
     return _DEFAULT_CPU_BASELINE
+
+
+def _cost_flops(compiled) -> float:
+    """Flops per execution from XLA's cost analysis (version-tolerant)."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def _bench_ws_fused(iters: int = 50, batch_size: int = 128) -> dict:
+    """Fused Pallas WS kernel: throughput + on-device parity vs the XLA
+    path, for every weight mode and both named kernels."""
+    import jax
+    import jax.numpy as jnp
+    from .ops import NAMED_FILTERS_2D, ws_attack
+    from .ops.pallas_ws import ws_attack_fused
+
+    rng = np.random.default_rng(1)
+    pixels = jax.device_put(
+        rng.integers(0, 256, (batch_size, 512, 512)).astype("uint8"))
+
+    parity = {}
+    for kname in ("KB", "AVG"):
+        for weighted in (0, 1, -1):
+            fused = np.asarray(
+                ws_attack_fused(pixels, kname, weighted=weighted))
+            xla = np.asarray(jax.jit(
+                lambda p: ws_attack(
+                    p, pixel_kernel=NAMED_FILTERS_2D[kname],
+                    weighted=weighted))(pixels))
+            parity[f"{kname}_w{weighted}"] = float(
+                np.max(np.abs(fused - xla)))
+
+    step = jax.jit(lambda p: ws_attack_fused(p, "KB", weighted=0))
+    jax.block_until_ready(step(pixels))
+    t0 = time.perf_counter()
+    out = [step(pixels) for _ in range(iters)]
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    return {
+        "images_per_sec": round(batch_size * iters / dt, 1),
+        "max_abs_diff_vs_xla": max(parity.values()),
+        "parity_by_mode": {k: round(v, 9) for k, v in parity.items()},
+    }
 
 
 def run_bench(dtype: str = "bfloat16", iters: int = 20,
@@ -62,6 +138,9 @@ def run_bench(dtype: str = "bfloat16", iters: int = 20,
     pixels = jax.device_put(
         rng.integers(0, 256, (batch_size, 512, 512)).astype("uint8"))
 
+    compiled = jax.jit(step).lower(pixels).compile()
+    flops_per_exec = _cost_flops(compiled)
+
     for _ in range(warmup):
         jax.block_until_ready(step(pixels))
     # pipelined dispatch: enqueue all iterations, block once — measures
@@ -74,15 +153,27 @@ def run_bench(dtype: str = "bfloat16", iters: int = 20,
 
     ips = batch_size * iters / dt
     baseline = _read_cpu_baseline()
-    return {
+    device = jax.devices()[0]
+    peak = _peak_flops(device)
+    out = {
         "metric": f"images/sec/chip UNet+WS inference "
                   f"(unet_2, 512x512, {dtype}, batch {batch_size})",
         "value": round(ips, 3),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / baseline, 2),
-        "platform": jax.devices()[0].platform,
-        "device": str(jax.devices()[0]),
+        "platform": device.platform,
+        "device": str(device),
+        "flops_per_image": round(flops_per_exec / batch_size / 1e9, 2),
+        "tflops_per_sec": round(flops_per_exec * iters / dt / 1e12, 2),
     }
+    if peak:
+        out["mfu"] = round(flops_per_exec * iters / dt / peak, 4)
+    if device.platform == "tpu":
+        try:
+            out["ws_fused"] = _bench_ws_fused(batch_size=batch_size)
+        except Exception as e:  # fused kernel must not break the headline
+            out["ws_fused"] = {"error": f"{type(e).__name__}: {e}"}
+    return out
 
 
 def main():

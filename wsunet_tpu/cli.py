@@ -46,6 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("filters-eval", help="KB/AVG prediction error (MAE/wMAE)")
     _common(p)
     p.add_argument("--filters", nargs="+", default=["AVG", "KB"])
+    p.add_argument("--channels", nargs="+", type=int, default=None,
+                   help="[R,G,B,Y] plane per filter (default: Y for each)")
+    p.add_argument("--inbayer", default=None, choices=["00", "01", "10", "11"],
+                   help="Bayer-phase subsample of the residual grid")
 
     p = sub.add_parser("ws-eval", help="WS attack sweep")
     _common(p)
@@ -60,6 +64,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--alphas", nargs="+", type=float, default=[.4, .2, .1])
     p.add_argument("--weighted", type=int, default=0, choices=[-1, 0, 1])
     p.add_argument("--correct-bias", action="store_true")
+    p.add_argument("--channels", nargs="+", type=int, default=[3],
+                   help="[R,G,B,Y] planes: attacked channel last; two or "
+                        "three channels select the color4/color8 OLS layout")
 
     p = sub.add_parser("unet-eval", help="U-Net inference + WS prediction error")
     _common(p)
@@ -83,6 +90,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--b0-model-dir", type=pathlib.Path,
                    default=pathlib.Path("models/b0"))
     p.add_argument("--train-method", default="LSBR")
+    p.add_argument("--stego-methods", nargs="+", default=["LSBR"],
+                   help="stego methods to build curves for (e.g. HILLR)")
     p.add_argument("--alphas", nargs="+", type=float, default=[.1, .05, .01])
     p.add_argument("--models", nargs="+", default=["AVG", "KB", "UNet"])
     p.add_argument("--b0", action="store_true", help="include B0 detectors")
@@ -156,10 +165,19 @@ def main(argv=None):
 def _dispatch(args):
     cmd = args.command
 
+    # --split/--take select dataset rows; commands that do not walk the
+    # catalog reject them instead of silently ignoring the selection
+    if (getattr(args, "split", None) or getattr(args, "take", None)) and \
+            cmd in ("contour", "saliency", "simulate", "bench",
+                    "train-unet", "train-b0", "init-dataset"):
+        raise SystemExit(f"{cmd} does not support --split/--take")
+
     if cmd == "filters-eval":
         from .ws import filters_run
+        channels = ([(c,) for c in args.channels] if args.channels
+                    else [(3,)] * len(args.filters))
         res = filters_run(args.data, filter_names=args.filters,
-                          channels=[(3,)] * len(args.filters),
+                          channels=channels, inbayer=args.inbayer,
                           batch_size=args.batch_size, split=args.split,
                           take_num_images=args.take)
         out = args.results / "prediction" / "filters.csv"
@@ -168,31 +186,13 @@ def _dispatch(args):
         print(f"output saved to {out}")
 
     elif cmd == "ws-eval":
-        import pandas as pd
-        from .ws import ws_run
-        from .utils.registry import get_model_name
-        frames = []
-        for stego_method in [None] + list(args.stego_methods):
-            for alpha in (args.alphas if stego_method else [None]):
-                for model in args.models:
-                    model_name, model_path = model, None
-                    if model.upper() == "UNET":
-                        model_path = args.model_dir / args.train_method
-                        model_name = get_model_name(
-                            args.model_dir, args.train_method)
-                    res = ws_run(
-                        input_dir=args.data, stego_method=stego_method,
-                        alpha=alpha, model_name=model_name,
-                        model_path=model_path, weighted=args.weighted,
-                        correct_bias=args.correct_bias,
-                        batch_size=args.batch_size)
-                    frames.append(res)
-        res = pd.concat(frames).reset_index(drop=True)
-        if "stego_method" in res:
-            res["stego_method"] = res["stego_method"].fillna("Cover")
-        else:
-            res["stego_method"] = "Cover"
-        out = args.results / "estimation" / f"ws_{args.train_method}.csv"
+        res = _ws_sweep(args)
+        # NOTE the sweep gets its own file: the reference's ws/estimate.py
+        # writes ws_<method>.csv too (estimate.py:216,280), silently
+        # clobbering unet/evaluate.py's golden-schema file of the same name
+        # whenever both are run; the checked-in golden has the unet-eval
+        # schema, so the sweep is renamed rather than the parity artifact.
+        out = args.results / "estimation" / f"ws_sweep_{args.train_method}.csv"
         out.parent.mkdir(parents=True, exist_ok=True)
         res.to_csv(out, index=False)
         print(f"output saved to {out}")
@@ -200,7 +200,8 @@ def _dispatch(args):
     elif cmd == "unet-eval":
         from .ws import unet_run
         res = unet_run(args.data, args.model_dir, args.stego_method,
-                       batch_size=args.batch_size)
+                       batch_size=args.batch_size, split=args.split,
+                       take_num_images=args.take)
         out = args.results / "estimation" / f"ws_{args.stego_method}.csv"
         out.parent.mkdir(parents=True, exist_ok=True)
         res.to_csv(out, index=False)
@@ -211,7 +212,8 @@ def _dispatch(args):
         res = b0_run(args.data, args.model_dir, args.stego_method,
                      no_stem_stride=args.no_stem_stride,
                      lsbr_reference=args.lsbr_reference,
-                     batch_size=args.batch_size)
+                     batch_size=args.batch_size, split=args.split,
+                     take_num_images=args.take)
         out = args.results / "detection" / "b0.csv"
         out.parent.mkdir(parents=True, exist_ok=True)
         res.to_csv(out, index=False)
@@ -236,7 +238,8 @@ def _dispatch(args):
         from .analyses import run_correlation
         unet = ("dropout", "LSBR", "HILLR") if args.model_dir else ()
         res, agg = run_correlation(args.data, model_dir=args.model_dir,
-                                   unet_methods=unet)
+                                   unet_methods=unet, split=args.split,
+                                   take_num_images=args.take)
         out = args.results / "estimation" / "correlation.csv"
         out.parent.mkdir(parents=True, exist_ok=True)
         agg.to_csv(out)
@@ -288,6 +291,62 @@ def _dispatch(args):
     return 0
 
 
+def _ws_sweep(args, weighted=None, correct_bias=None):
+    """The reference's four-predictor WS sweep (ws/estimate.py:208-281):
+    named filters plus BOTH trained U-Nets — UNet_l1 (dropout-trained) and
+    UNet_l1ws_<method> — in one run.  'UNet' in --models expands to both
+    variants; 'UNet_l1' / 'UNet_l1ws' select one."""
+    import pandas as pd
+    from .ws import ws_run
+    from .utils.registry import get_model_name
+
+    unet_variants = {
+        "UNET": [("l1", "dropout"), ("l1ws", args.train_method)],
+        "UNET_L1": [("l1", "dropout")],
+        "UNET_L1WS": [("l1ws", args.train_method)],
+    }
+    frames = []
+    for stego_method in [None] + list(args.stego_methods):
+        for alpha in (args.alphas if stego_method else [None]):
+            for model in args.models:
+                variants = unet_variants.get(model.upper())
+                if variants is None:
+                    jobs = [(model, None, None)]
+                else:
+                    jobs = []
+                    for loss, tm in variants:
+                        try:
+                            name = get_model_name(
+                                args.model_dir, tm, loss=loss)
+                        except RuntimeError as e:
+                            print(f"skipping UNet {loss}/{tm}: {e}",
+                                  file=sys.stderr)
+                            continue
+                        label = ("UNet_" + loss +
+                                 (f"_{tm}" if loss == "l1ws" else ""))
+                        jobs.append((name, args.model_dir / tm, label))
+                for model_name, model_path, label in jobs:
+                    frames.append(ws_run(
+                        input_dir=args.data, stego_method=stego_method,
+                        alpha=alpha, model_name=model_name,
+                        model_path=model_path,
+                        channels=tuple(getattr(args, "channels", None)
+                                       or (3,)),
+                        weighted=args.weighted if weighted is None
+                        else weighted,
+                        correct_bias=args.correct_bias if correct_bias is None
+                        else correct_bias,
+                        batch_size=args.batch_size,
+                        split=args.split, take_num_images=args.take,
+                        model_label=label))
+    res = pd.concat(frames).reset_index(drop=True)
+    if "stego_method" in res:
+        res["stego_method"] = res["stego_method"].fillna("Cover")
+    else:
+        res["stego_method"] = "Cover"
+    return res
+
+
 def _cmd_roc(args):
     import pandas as pd
     from .detect import b0_run, produce_roc
@@ -295,7 +354,7 @@ def _cmd_roc(args):
     from .ws import ws_run
 
     frames = []
-    for stego_method in [None, "LSBR"]:
+    for stego_method in [None] + list(args.stego_methods):
         for alpha in (args.alphas if stego_method else [None]):
             for model in args.models:
                 model_name, model_path = model, None
@@ -311,14 +370,16 @@ def _cmd_roc(args):
                     input_dir=args.data, stego_method=stego_method,
                     alpha=alpha, model_name=model_name,
                     model_path=model_path, weighted=0,
-                    batch_size=args.batch_size))
+                    batch_size=args.batch_size,
+                    split=args.split, take_num_images=args.take))
     if args.b0:
         for no_stride, lsbr_ref in [(False, False), (True, True)]:
             try:
                 res = b0_run(
                     args.data, args.b0_model_dir, args.train_method,
                     no_stem_stride=no_stride, lsbr_reference=lsbr_ref,
-                    batch_size=args.batch_size)
+                    batch_size=args.batch_size,
+                    split=args.split, take_num_images=args.take)
             except (RuntimeError, FileNotFoundError) as e:
                 print(f"skipping B0 ns={no_stride} r={lsbr_ref}: {e}",
                       file=sys.stderr)
@@ -338,9 +399,9 @@ def _cmd_roc(args):
     alpha = args.alphas[-1]
     outdir = args.results / "detection"
     outdir.mkdir(parents=True, exist_ok=True)
-    df_auc = df_roc[["stego_method", "model_name", "auc", "p_e", "tau0",
-                     "fpr_tau0", "tpr_tau0", "fpr_50", "tpr_50"]
-                    ].drop_duplicates()
+    df_auc = df_roc[["stego_method", "model_name", "auc", "p_e", "wauc",
+                     "pmd_5fp", "tau0", "fpr_tau0", "tpr_tau0", "fpr_50",
+                     "tpr_50"]].drop_duplicates()
     df_auc.to_csv(outdir / f"auc_{alpha}.csv", index=False)
     pivot = df_roc.pivot(index=["tau"],
                          columns=["stego_method", "model_name"],

@@ -107,6 +107,8 @@ def run(
     lsbr_reference: bool = False,
     batch_size: int = 8,
     threads: int = 8,
+    split: str = None,
+    take_num_images: int = None,
 ) -> pd.DataFrame:
     """Score covers + stego sweeps with one trained B0
     (parity: detector/evaluate.py __main__, results/detection/b0.csv)."""
@@ -118,10 +120,12 @@ def run(
     detect = get_b0_detector(
         model_dir / stego_method, model_name, lsbr_reference=lsbr_reference)
 
+    select = dict(split=split, take_num_images=take_num_images)
     frames = [_score_frame(
-        data_path, precovers(data_path), detect, batch_size, threads)]
+        data_path, precovers(data_path, **select), detect,
+        batch_size, threads)]
     for sm in eval_methods:
-        df_s = stego_spatial(data_path, stego_method=sm)
+        df_s = stego_spatial(data_path, stego_method=sm, **select)
         if len(df_s):
             frames.append(_score_frame(
                 data_path, df_s, detect, batch_size, threads))

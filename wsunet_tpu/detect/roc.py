@@ -14,6 +14,8 @@ loop) but numerically identical.
 import numpy as np
 import pandas as pd
 
+from .metrics import PMD5FPMeter, wAUCMeter
+
 
 def _roc_curve_manual(y_hat: np.ndarray, y: np.ndarray):
     taus = np.linspace(0, 1, 501, endpoint=True)[::-1]
@@ -61,6 +63,14 @@ def produce_roc(df_ws: pd.DataFrame) -> pd.DataFrame:
         FN = np.sum((y_hat <= .5) & pos)
         fpr50, tpr50 = FP / (FP + TN), TP / (TP + FN)
 
+        # training-time meter statistics surfaced in the report
+        # (reference computed these only during training,
+        # _defs/metrics.py:228-246,276-304)
+        wauc_m, pmd_m = wAUCMeter(), PMD5FPMeter()
+        wauc_m.update((y > 0).astype(int), y_hat)
+        pmd_m.update((y > 0).astype(int), y_hat)
+        wauc, pmd5fp = wauc_m.avg, pmd_m.avg
+
         label = model_name if "B0" in model_name else f"WS-{model_name}"
         out.append(pd.DataFrame({
             "stego_method": stego_method,
@@ -75,6 +85,8 @@ def produce_roc(df_ws: pd.DataFrame) -> pd.DataFrame:
             "auc": auc,
             "fpr_50": fpr50,
             "tpr_50": tpr50,
+            "wauc": wauc,
+            "pmd_5fp": pmd5fp,
             "label": label,
         }))
     return pd.concat(out)

@@ -50,9 +50,11 @@ def imread_gray_u8(fname) -> np.ndarray:
     x = np.array(img)
     if x.ndim == 2:
         return x
-    # BT.601 luma with OpenCV-compatible rounding
-    r = x[..., 0].astype("float64")
-    g = x[..., 1].astype("float64")
-    b = x[..., 2].astype("float64")
-    y = 0.299 * r + 0.587 * g + 0.114 * b
-    return np.round(y).clip(0, 255).astype("uint8")
+    # BT.601 luma in OpenCV's exact fixed-point arithmetic (shift-15
+    # coefficients + round-half-up descale, imgproc color_lut.hpp); float
+    # rounding differs on ~0.05% of pixels
+    r = x[..., 0].astype("int64")
+    g = x[..., 1].astype("int64")
+    b = x[..., 2].astype("int64")
+    y = (9798 * r + 19235 * g + 3735 * b + (1 << 14)) >> 15
+    return y.clip(0, 255).astype("uint8")

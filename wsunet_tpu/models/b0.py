@@ -103,11 +103,27 @@ def _highpass_stem_init(key, shape, dtype=jnp.float32):
         np.array([[1, 0, 0], [0, -2, 0], [0, 0, 1]], np.float32) / 2.0,
         np.array([[0, 0, 1], [0, -2, 0], [1, 0, 0]], np.float32) / 2.0,
     ]
+    center = np.zeros((3, 3), np.float32)
+    center[1, 1] = 1.0
     # build the fixed filters + mask as host constants, then blend into the
     # random init with jnp.where (this runs inside jit(model.init))
     fixed = np.zeros(shape, np.float32)
     mask = np.zeros(shape, bool)
-    for o in range(cout // 2):
+    n_diff = 0
+    if cin >= 2:
+        # cross-channel difference extractors: with the LSBr-reference
+        # plane appended (detector input [x, x & ~1, ...]) the channel-0
+        # minus channel-1 center difference IS the LSB plane — the exact
+        # statistic the WS/parity attacks read.  Seed it directly plus its
+        # high-passed variants; a random init takes thousands of steps to
+        # discover this near-null direction (the planes are ~identical).
+        diff_kernels = [center] + kernels
+        n_diff = min(len(diff_kernels), cout // 4)
+        for o in range(n_diff):
+            fixed[:, :, 0, o] = diff_kernels[o] * 8.0
+            fixed[:, :, 1, o] = -diff_kernels[o] * 8.0
+            mask[:, :, :, o] = True
+    for o in range(n_diff, cout // 2):
         k = kernels[o % len(kernels)]
         c = o % cin
         fixed[:, :, c, o] = k

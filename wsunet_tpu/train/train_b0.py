@@ -16,6 +16,7 @@ import pathlib
 import time
 
 import numpy as np
+import pandas as pd
 import optax
 import jax
 import jax.numpy as jnp
@@ -32,36 +33,13 @@ from ..utils import create_run_name, setup_logger
 from .checkpoint import load_checkpoint, save_checkpoint, save_config
 from .train_unet import MetricWriter
 
+from .config import B0TrainConfig
+
 log = setup_logger("train_b0")
 
-DEFAULT_CONFIG = dict(
-    network="b0",
-    crop=None,            # random-crop size for training batches
-    augment=False,        # random flips + rot90
-    steps_per_epoch=None,  # repeat the (small) catalog to this many steps
-    stego_method="LSBR",
-    alpha=0.01,           # scalar, or a list -> per-image uniform draw
-    loss="crossentropy",
-    learning_rate=1e-4,
-    lr_schedule=None,      # None (constant) | "cosine"
-    select_metric="loss",  # checkpoint selection: "loss" | "p_e"
-    batch_size=8,
-    num_epochs=50,
-    patience=5,
-    grayscale=True,
-    drop_rate=0.2,
-    no_stem_stride=False,
-    lsbr_reference=False,
-    stem_init="default",
-    demosaic_oracle=False,
-    seed=12345,
-    shape=(512, 512),
-    tr_csv="split_tr.csv",
-    va_csv="split_va.csv",
-    resume=None,
-    debug=False,
-    compute_dtype="bfloat16",
-)
+import dataclasses as _dataclasses
+_DATACLASS_DEFAULTS = _dataclasses.asdict(B0TrainConfig())
+DEFAULT_CONFIG = _DATACLASS_DEFAULTS
 
 
 def _make_steps(model, optimizer, cfg):
@@ -90,29 +68,31 @@ def _make_steps(model, optimizer, cfg):
         x = x_u8[..., None]
         return random_rot90(random_flip(x, kf), kr)[..., 0]
 
-    def draw_alphas(B, key):
+    val_alpha = cfg.get("val_alpha") or alpha
+
+    def draw_alphas(B, key, rates):
         """Per-image embedding rate; a list config trains one detector over
         a rate mixture (the curriculum substitute for the reference's
         resume-from-higher-alpha warm start, config.json "resume")."""
-        if isinstance(alpha, (list, tuple)):
-            rates = jnp.asarray(alpha, jnp.float32)
-            return rates[jax.random.randint(key, (B,), 0, len(rates))]
-        return jnp.full((B,), float(alpha), jnp.float32)
+        if isinstance(rates, (list, tuple)):
+            r = jnp.asarray(rates, jnp.float32)
+            return r[jax.random.randint(key, (B,), 0, len(r))]
+        return jnp.full((B,), float(rates), jnp.float32)
 
-    def embed(cover_u8, alphas, key):
+    def embed(cover_u8, alphas, key, rates):
         if stego_method.upper().startswith("LSB"):
             return lsbr_simulate(cover_u8, alphas, key)
-        if isinstance(alpha, (list, tuple)):
+        if isinstance(rates, (list, tuple)):
             # hillr flips a static count per rate: compute each candidate
-            # (len(alpha) static top_k passes) and select per image
-            rates = jnp.asarray(alpha, jnp.float32)
-            idx = jnp.argmin(jnp.abs(rates[:, None] - alphas[None, :]), axis=0)
+            # (len(rates) static top_k passes) and select per image
+            r = jnp.asarray(rates, jnp.float32)
+            idx = jnp.argmin(jnp.abs(r[:, None] - alphas[None, :]), axis=0)
             out = cover_u8
-            for i, a in enumerate(alpha):
+            for i, a in enumerate(rates):
                 out = jnp.where((idx == i)[:, None, None],
                                 hillr_simulate(cover_u8, float(a)), out)
             return out
-        return hillr_simulate(cover_u8, float(alpha))
+        return hillr_simulate(cover_u8, float(rates))
 
     def preprocess(x_u8):
         x = x_u8.astype(jnp.float32)[..., None] / 255.0
@@ -120,12 +100,12 @@ def _make_steps(model, optimizer, cfg):
             x = lsbr_reference_tf(x)
         return normalize(x, IMAGENET_GREEN_MEAN, IMAGENET_GREEN_STD)
 
-    def make_pair(cover_u8, mask, key):
+    def make_pair(cover_u8, mask, key, rates):
         k_crop, k_aug, k_alpha, key = jax.random.split(key, 4)
         cover_u8 = random_crop(cover_u8, k_crop)
         cover_u8 = augment_batch(cover_u8, k_aug)
-        alphas = draw_alphas(cover_u8.shape[0], k_alpha)
-        stego_u8 = embed(cover_u8, alphas, key)
+        alphas = draw_alphas(cover_u8.shape[0], k_alpha, rates)
+        stego_u8 = embed(cover_u8, alphas, key, rates)
         x = jnp.concatenate([preprocess(cover_u8), preprocess(stego_u8)])
         y = jnp.concatenate([
             jnp.zeros(cover_u8.shape[0], jnp.int32),
@@ -152,7 +132,7 @@ def _make_steps(model, optimizer, cfg):
     @jax.jit
     def train_step(params, batch_stats, opt_state, cover_u8, mask, key,
                    dropout_key):
-        x, y, w = make_pair(cover_u8, mask, key)
+        x, y, w = make_pair(cover_u8, mask, key, alpha)
         (loss, (logits, batch_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(
             params, batch_stats, x, y, w, dropout_key, True)
@@ -162,7 +142,7 @@ def _make_steps(model, optimizer, cfg):
 
     @jax.jit
     def eval_step(params, batch_stats, cover_u8, mask, key):
-        x, y, w = make_pair(cover_u8, mask, key)
+        x, y, w = make_pair(cover_u8, mask, key, val_alpha)
         loss, (logits, _) = loss_fn(
             params, batch_stats, x, y, w, jax.random.PRNGKey(0), False)
         return loss, logits, y
@@ -171,7 +151,7 @@ def _make_steps(model, optimizer, cfg):
 
 
 def train(config: dict, data_path: pathlib.Path, output_dir: pathlib.Path):
-    cfg = {**DEFAULT_CONFIG, **config}
+    cfg = B0TrainConfig.validate(config)
     run_name = time.strftime("%y%m%d%H%M%S") + "-tpu-" + create_run_name(cfg)
     exp_dir = pathlib.Path(output_dir) / cfg["stego_method"] / run_name
     save_config(exp_dir, {**cfg, "dataset": str(data_path)})
@@ -225,7 +205,6 @@ def train(config: dict, data_path: pathlib.Path, output_dir: pathlib.Path):
         df_ep = df_tr.sample(frac=1.0, random_state=rng.integers(2 ** 31)) \
             if len(df_tr) > 1 else df_tr
         if cfg.get("steps_per_epoch"):
-            import pandas as pd
             need = cfg["steps_per_epoch"] * cfg["batch_size"]
             reps = max(1, -(-need // len(df_ep)))
             df_ep = pd.concat([df_ep] * reps)[:need]
@@ -254,9 +233,17 @@ def train(config: dict, data_path: pathlib.Path, output_dir: pathlib.Path):
 
         va_loss = LossMeter()
         va_pe, va_pmd, va_acc = PEMeter(), PMD5FPMeter(), AccuracyMeter()
+        # val_steps repeats the (possibly single-cover) val catalog so the
+        # selection P_E is computed over many deterministic crop/embedding
+        # draws instead of a handful of images
+        df_va_ep = df_va
+        if cfg.get("val_steps"):
+            need = cfg["val_steps"] * cfg["batch_size"]
+            reps = max(1, -(-need // len(df_va)))
+            df_va_ep = pd.concat([df_va] * reps)[:need]
         # deterministic per-batch val keys (see train_unet note)
         for vb, batch in enumerate(iterate_batches(
-                data_path, df_va, cfg["batch_size"], cache=True)):
+                data_path, df_va_ep, cfg["batch_size"], cache=True)):
             ek = jax.random.fold_in(jax.random.PRNGKey(cfg["seed"] or 0), vb)
             pixels, mask = shard_batch(
                 mesh, (jnp.asarray(batch.pixels), jnp.asarray(batch.mask)))

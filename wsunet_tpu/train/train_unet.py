@@ -33,35 +33,15 @@ from ..utils import create_run_name, setup_logger
 from .checkpoint import save_checkpoint, save_config
 from .losses import get_loss
 
+from .config import UNetTrainConfig
+
 log = setup_logger("train_unet")
 
-DEFAULT_CONFIG = dict(
-    network="unet_2",
-    crop=None,          # random-crop size for training batches
-    augment=False,      # random flips + rot90
-    cover_fraction=0.5,  # fraction of each batch left unembedded
-    steps_per_epoch=None,  # repeat the (small) catalog to this many steps
-    stego_method="LSBR",
-    alpha=0.4,
-    loss="l1ws",
-    loss_lambda=0.25,
-    learning_rate=1e-4,
-    lr_schedule=None,      # None (constant) | "cosine" (warmup + decay)
-    select_metric="loss",  # checkpoint selection: "loss" | "ws" (val WS MAE)
-    batch_size=8,
-    num_epochs=50,
-    patience=10,
-    grayscale=True,
-    drop_rate=None,
-    disable_center=False,
-    seed=12345,
-    shape=(512, 512),
-    tr_csv="split_tr.csv",
-    va_csv="split_va.csv",
-    resume=None,
-    debug=False,
-    compute_dtype="float32",
-)
+# kept as a plain-dict view for callers/tests; the dataclass is the source
+# of truth (train/config.py, SURVEY §5.6 typed-config item)
+import dataclasses as _dataclasses
+_DATACLASS_DEFAULTS = _dataclasses.asdict(UNetTrainConfig())
+DEFAULT_CONFIG = _DATACLASS_DEFAULTS
 
 
 def _make_step(model, loss_fn, optimizer, stego_method, alpha,
@@ -191,7 +171,7 @@ class MetricWriter:
 
 def train(config: dict, data_path: pathlib.Path, output_dir: pathlib.Path):
     """Run one U-Net training experiment; returns the experiment dir."""
-    cfg = {**DEFAULT_CONFIG, **config}
+    cfg = UNetTrainConfig.validate(config)
     run_name = time.strftime("%y%m%d%H%M%S") + "-tpu-" + create_run_name(cfg)
     stego_method = cfg["stego_method"]
     exp_dir = pathlib.Path(output_dir) / (stego_method or "dropout") / run_name

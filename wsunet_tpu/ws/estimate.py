@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from ..data import iterate_batches, precovers, stego_spatial
+from ..io.imread import imread4_u8, imread_gray_u8
 from ..ops import NAMED_FILTERS_2D, ws_attack
 from .unet_eval import get_unet_estimator
 
@@ -28,13 +29,20 @@ def attack_sweep(
     correct_bias: bool = False,
     batch_size: int = 8,
     threads: int = 8,
+    channel: int = None,
+    pixel_estimator4: typing.Callable = None,
 ) -> np.ndarray:
     """beta_hat for every catalog row, batched on device.
 
+    ``channel`` selects an [R,G,B,Y] plane (None/3 = luminance fast path);
+    ``pixel_estimator4`` is a multi-channel predictor (color OLS): it sees
+    the full f32 [B,H,W,4] batch and predicts the ``channel`` plane.
+
     On TPU, named-filter attacks without bias correction dispatch to the
     fused Pallas kernel (ops/pallas_ws.py; ~6-8x the XLA path)."""
+    color = pixel_estimator4 is not None or channel not in (None, 3)
     use_fused = (
-        kernel_name is not None and not correct_bias and
+        kernel_name is not None and not correct_bias and not color and
         jax.devices()[0].platform == "tpu")
 
     if use_fused:
@@ -42,16 +50,31 @@ def attack_sweep(
 
         def step(pixels):
             return ws_attack_fused(pixels, kernel_name, weighted=weighted)
+    elif pixel_estimator4 is not None:
+        if correct_bias:
+            raise NotImplementedError(
+                "bias correction with a multi-channel predictor")
+
+        @jax.jit
+        def step(pixels):
+            x_hat = pixel_estimator4(pixels.astype(jnp.float32))
+            return ws_attack(
+                pixels[..., channel if channel is not None else 3],
+                pixel_estimator=lambda _: x_hat, weighted=weighted)
     else:
         @jax.jit
         def step(pixels):
+            x = pixels if pixels.ndim == 3 else \
+                pixels[..., channel if channel is not None else 3]
             return ws_attack(
-                pixels, pixel_kernel=pixel_kernel,
+                x, pixel_kernel=pixel_kernel,
                 pixel_estimator=pixel_estimator,
                 weighted=weighted, correct_bias=correct_bias)
 
+    reader = imread4_u8 if color else imread_gray_u8
     betas = []
-    for batch in iterate_batches(root, df, batch_size, threads=threads):
+    for batch in iterate_batches(root, df, batch_size, reader=reader,
+                                 threads=threads):
         b = np.asarray(step(jnp.asarray(batch.pixels)))
         vals = b[: len(batch.rows)].astype("float64")
         vals[~batch.mask[: len(batch.rows)]] = np.nan  # failed decodes
@@ -81,18 +104,34 @@ def run(
     reference's UNet_l1 / UNet_l1ws_<method> sweep labels,
     ws/estimate.py:264-267)."""
     kernel_name = None
+    estimator4 = None
+    channel = tuple(channels)[-1] if channels else 3
     if model_name in NAMED_FILTERS_2D:
         kernel, estimator = NAMED_FILTERS_2D[model_name], None
         kernel_name = model_name
         out_model_name = model_name
     elif model_name == "OLS":
-        # least-squares 8-tap filter fitted on this dataset's covers
-        # (completes the reference's OLS sweep surface, ws/roc.py:319)
+        # least-squares filter fitted on this dataset's covers (completes
+        # the reference's OLS sweep surface, ws/roc.py:319).  One channel:
+        # 8-tap gray layout; 2-3 channels: color4/color8 layouts
+        # (_defs/filters.py:16-27), helpers first, attacked channel last.
         from ..data import load_images
-        from ..ops.ols import ols_kernel2d
+        from ..ops.ols import (
+            ols_color_kernels, ols_color_predict, ols_kernel2d)
         df_cov = precovers(input_dir)
-        pixels = load_images(input_dir, list(df_cov["name"])).astype("float32")
-        kernel, estimator = ols_kernel2d(pixels), None
+        kernel, estimator = None, None
+        if len(channels) > 1:
+            pixels4 = load_images(input_dir, list(df_cov["name"]),
+                                  reader=imread4_u8).astype("float32")
+            kernels = ols_color_kernels(pixels4, channels)
+            estimator4 = lambda x4: ols_color_predict(x4, kernels)  # noqa: E731
+        else:
+            pixels = load_images(
+                input_dir, list(df_cov["name"])).astype("float32")
+            # ols_kernel2d is correlation-oriented; filter_predict applies a
+            # true convolution (spatial flip), so pre-flip to cancel — the
+            # fitted kernel, unlike the named filters, is not symmetric
+            kernel = ols_kernel2d(pixels)[::-1, ::-1]
         out_model_name = "OLS"
     else:
         kernel = None
@@ -109,11 +148,12 @@ def run(
     betas = attack_sweep(
         input_dir, df, pixel_kernel=kernel, pixel_estimator=estimator,
         kernel_name=kernel_name, weighted=weighted,
-        correct_bias=correct_bias, batch_size=batch_size, threads=threads)
+        correct_bias=correct_bias, batch_size=batch_size, threads=threads,
+        channel=channel, pixel_estimator4=estimator4)
 
     res = df.reset_index(drop=True).copy()
     res["beta_hat"] = betas
-    res["model_name"] = out_model_name
+    res["model_name"] = model_label or out_model_name
     res["channels"] = "".join(map(str, channels))
     res["weighted"] = weighted
     res["correct_bias"] = correct_bias

@@ -101,6 +101,8 @@ def run(
     model_name: str = None,
     batch_size: int = 8,
     threads: int = 8,
+    split: str = None,
+    take_num_images: int = None,
 ) -> pd.DataFrame:
     """Cover + stego sweeps for one trained model
     (parity: unet/evaluate.py __main__, results/estimation/ws_<method>.csv)."""
@@ -110,11 +112,12 @@ def run(
     model, variables, _ = load_pretrained_unet(
         model_dir / stego_method, model_name)
 
+    select = dict(split=split, take_num_images=take_num_images)
     frames = [_predict_frame(
-        data_path, precovers(data_path), model, variables,
+        data_path, precovers(data_path, **select), model, variables,
         batch_size, threads)]
     for sm in eval_methods:
-        df_s = stego_spatial(data_path, stego_method=sm)
+        df_s = stego_spatial(data_path, stego_method=sm, **select)
         if len(df_s):
             frames.append(_predict_frame(
                 data_path, df_s, model, variables, batch_size, threads))
