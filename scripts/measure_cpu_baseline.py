@@ -53,7 +53,12 @@ class TorchUNet2(torch.nn.Module):
 
 
 def main():
-    torch.set_num_threads(torch.get_num_threads())
+    # use every available core: torch_threads == os.cpu_count(), so the
+    # recorded figure is the best the reference can do on this host (on a
+    # single-core bench host the "multi-thread" and single-thread numbers
+    # coincide — recorded explicitly so the multiplier is not overstated)
+    import os
+    torch.set_num_threads(os.cpu_count())
     model = TorchUNet2().eval()
     n_params = sum(p.numel() for p in model.parameters())
 
@@ -89,6 +94,7 @@ def main():
         "images": n,
         "seconds": dt,
         "torch_threads": torch.get_num_threads(),
+        "cpu_count": __import__("os").cpu_count(),
         "n_params": n_params,
         "machine": "bench host (same machine as TPU bench)",
     }

@@ -1,0 +1,60 @@
+"""Fused reflect-conv Pallas kernel: interpret-mode numerics + VJP.
+
+The on-hardware run of the same kernel is exercised by the TPU bench
+(fast_conv path) and tests/test_tpu_pallas_parity.py's opt-in session.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from wsunet_tpu.ops.pallas_conv import (
+    _TH, _forward, _reference, conv3x3_reflect_fused)
+
+
+@pytest.mark.parametrize("shape,cout", [
+    ((2, 32, 40, 3), 8),
+    ((1, 48, 16, 1), 4),
+])
+def test_interpret_matches_reference(shape, cout):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=shape).astype("float32"))
+    w = jnp.asarray(rng.normal(size=(3, 3, shape[-1], cout)).astype("f"))
+    b = jnp.asarray(rng.normal(size=(cout,)).astype("float32"))
+    got = _forward(x, w, b, interpret=True)
+    want = _reference(x, w, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_tile_multiple_heights():
+    """Edge tiles (first/last) and interior tiles all handled."""
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(1, 4 * _TH, 24, 2)).astype("f"))
+    w = jnp.asarray(rng.normal(size=(3, 3, 2, 4)).astype("f"))
+    b = jnp.zeros((4,), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(_forward(x, w, b, interpret=True)),
+        np.asarray(_reference(x, w, b)), rtol=1e-5, atol=1e-5)
+
+
+def test_custom_vjp_matches_reference_grad():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 2)).astype("f"))
+    w = jnp.asarray(rng.normal(size=(3, 3, 2, 3)).astype("f"))
+    b = jnp.asarray(rng.normal(size=(3,)).astype("f"))
+
+    # off-TPU the primal falls back to _reference, so the VJP pair is
+    # checked end-to-end through the public entry point
+    def loss_fast(x, w, b):
+        return jnp.sum(conv3x3_reflect_fused(x, w, b) ** 2)
+
+    def loss_ref(x, w, b):
+        return jnp.sum(_reference(x, w, b) ** 2)
+
+    g_fast = jax.grad(loss_fast, argnums=(0, 1, 2))(x, w, b)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(x, w, b)
+    for a, c in zip(g_fast, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-5, atol=1e-5)

@@ -120,7 +120,9 @@ def run_bench(dtype: str = "bfloat16", iters: int = 20,
     precision = (jax.lax.Precision.DEFAULT if compute_dtype == jnp.bfloat16
                  else jax.lax.Precision.HIGHEST)
     from .models.unet import UNet
-    model = UNet(nsteps=2, compute_dtype=compute_dtype, precision=precision)
+    fast = jax.devices()[0].platform == "tpu"
+    model = UNet(nsteps=2, compute_dtype=compute_dtype, precision=precision,
+                 fast_conv=fast)
 
     key = jax.random.PRNGKey(0)
     params = jax.jit(model.init)(
@@ -138,8 +140,19 @@ def run_bench(dtype: str = "bfloat16", iters: int = 20,
     pixels = jax.device_put(
         rng.integers(0, 256, (batch_size, 512, 512)).astype("uint8"))
 
-    compiled = jax.jit(step).lower(pixels).compile()
-    flops_per_exec = _cost_flops(compiled)
+    # flops accounting always uses the pure-XLA model: cost analysis does
+    # not see inside Pallas custom calls (same math either way)
+    ref_model = UNet(nsteps=2, compute_dtype=compute_dtype,
+                     precision=precision, fast_conv=False)
+
+    @jax.jit
+    def ref_step(pixels_u8):
+        x = pixels_u8.astype(jnp.float32)
+        x_hat = infer_unet(ref_model, variables, x)
+        return ws_estimate_unet(x, x_hat)
+
+    flops_per_exec = _cost_flops(
+        jax.jit(ref_step).lower(pixels).compile())
 
     for _ in range(warmup):
         jax.block_until_ready(step(pixels))

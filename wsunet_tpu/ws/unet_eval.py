@@ -36,15 +36,22 @@ def load_pretrained_unet(
     model_path: pathlib.Path,
     model_name: str,
     compute_dtype=jnp.float32,
+    fast_conv: str = "auto",
 ):
     """Build the model from its config.json and restore the best checkpoint
     (parity: unet/evaluate.py:162-188 — in/out channels forced to 1 and
-    drop_rate to 0 at eval time)."""
+    drop_rate to 0 at eval time).
+
+    ``fast_conv="auto"`` uses the fused Pallas reflect-conv kernel on TPU
+    (identical math, ~1.6x inference throughput); gradients flow through a
+    custom VJP, so saliency/backprop consumers work unchanged."""
     exp_dir = pathlib.Path(model_path) / model_name
     config = load_config(exp_dir)
+    if fast_conv == "auto":
+        fast_conv = jax.devices()[0].platform == "tpu"
     model = get_model(
         config["network"], in_channels=1, out_channels=1,
-        drop_rate=None, compute_dtype=compute_dtype)
+        drop_rate=None, compute_dtype=compute_dtype, fast_conv=fast_conv)
     template = jax.eval_shape(
         model.init, jax.random.PRNGKey(0),
         jnp.zeros((1, 64, 64, 1), jnp.float32))
