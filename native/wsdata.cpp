@@ -70,6 +70,53 @@ int decode_gray_one(const char* path, uint8_t* out, int h, int w) {
   return 0;
 }
 
+// Decode one PNG into an 8-bit [h, w, 4] R,G,B,Y buffer (the reference's
+// imread4_u8 layout, src/_defs/imread.py:19-27).  Grayscale sources
+// replicate the plane into R=G=B=Y, exactly like cv2.imread's 3-channel
+// promotion followed by BGR2GRAY.
+int decode_rgby_one(const char* path, uint8_t* out, int h, int w) {
+  png_image image;
+  std::memset(&image, 0, sizeof(image));
+  image.version = PNG_IMAGE_VERSION;
+
+  if (!png_image_begin_read_from_file(&image, path)) return 1;
+  if (static_cast<int>(image.height) != h ||
+      static_cast<int>(image.width) != w) {
+    png_image_free(&image);
+    return 2;
+  }
+  const size_t n = static_cast<size_t>(h) * w;
+
+  const bool is_gray = (image.format & PNG_FORMAT_FLAG_COLOR) == 0;
+  if (is_gray) {
+    image.format = PNG_FORMAT_GRAY;
+    std::vector<uint8_t> gray(n);
+    if (!png_image_finish_read(&image, nullptr, gray.data(), 0, nullptr))
+      return 3;
+    for (size_t i = 0; i < n; ++i) {
+      const uint8_t v = gray[i];
+      out[4 * i] = v;
+      out[4 * i + 1] = v;
+      out[4 * i + 2] = v;
+      out[4 * i + 3] = v;
+    }
+    return 0;
+  }
+
+  image.format = PNG_FORMAT_RGB;
+  std::vector<uint8_t> rgb(n * 3);
+  if (!png_image_finish_read(&image, nullptr, rgb.data(), 0, nullptr))
+    return 3;
+  for (size_t i = 0; i < n; ++i) {
+    const uint8_t r = rgb[3 * i], g = rgb[3 * i + 1], b = rgb[3 * i + 2];
+    out[4 * i] = r;
+    out[4 * i + 1] = g;
+    out[4 * i + 2] = b;
+    out[4 * i + 3] = rgb_to_gray(r, g, b);
+  }
+  return 0;
+}
+
 }  // namespace
 
 extern "C" {
@@ -106,6 +153,33 @@ int ws_png_decode_gray_batch(const char** paths, int n, uint8_t* out,
       const int i = next.fetch_add(1);
       if (i >= n) return;
       if (decode_gray_one(paths[i], out + stride * i, h, w) != 0) {
+        failures.fetch_add(1);
+      }
+    }
+  };
+
+  std::vector<std::thread> pool;
+  pool.reserve(threads);
+  for (int t = 0; t < threads; ++t) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+  return failures.load();
+}
+
+// Decode n same-sized images into out[n*h*w*4] (R,G,B,Y per pixel) with
+// an internal thread pool. Returns the number of failed images.
+int ws_png_decode_rgby_batch(const char** paths, int n, uint8_t* out,
+                             int h, int w, int threads) {
+  if (threads < 1) threads = 1;
+  if (threads > n) threads = n;
+  std::atomic<int> next(0);
+  std::atomic<int> failures(0);
+  const size_t stride = static_cast<size_t>(h) * w * 4;
+
+  auto worker = [&]() {
+    for (;;) {
+      const int i = next.fetch_add(1);
+      if (i >= n) return;
+      if (decode_rgby_one(paths[i], out + stride * i, h, w) != 0) {
         failures.fetch_add(1);
       }
     }

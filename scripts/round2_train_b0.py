@@ -1,7 +1,14 @@
-"""Round-2 B0 training recipe: one detector per reference variant, trained
-over an embedding-rate mixture with crop-level sampling (the from-scratch
-substitute for the reference's ImageNet warm start + per-alpha resume
-curriculum, detector/models.py:42-63 / config.json "resume")."""
+"""Round-2 B0 training recipes (v3: quadratic stem + rate curriculum).
+
+The from-scratch substitute for the reference's ImageNet warm start
+(detector/models.py:42-63): the separating statistic for LSBr is the
+per-pixel WS product (cover LSB planes are themselves near-random), so
+the detector gets a quadratic stem whose products start as LSB x residual
+planes, then a two-stage rate curriculum mirrors the reference's
+resume-from-higher-alpha convention (config.json "resume").
+
+Usage: python scripts/round2_train_b0.py [pilot|nsr|plain|all]
+"""
 import pathlib
 import sys
 
@@ -13,21 +20,39 @@ DATA = pathlib.Path("/root/reference/data")
 OUT = pathlib.Path("models_r2/b0")
 
 COMMON = dict(
-    alpha=[0.4, 0.2, 0.1, 0.05, 0.01],
-    crop=256, augment=True,
-    steps_per_epoch=200, batch_size=8,
-    learning_rate=3e-4, lr_schedule="cosine",
-    num_epochs=80, patience=80,
-    select_metric="p_e", val_alpha=[0.1, 0.05, 0.01], val_steps=25,
-    stem_init="highpass", compute_dtype="float32",
+    crop=256, augment=True, steps_per_epoch=150, batch_size=8,
+    learning_rate=3e-4, lr_schedule="cosine", select_metric="p_e",
+    val_steps=25, stem_init="highpass", quadratic_stem=True,
+    compute_dtype="float32", patience=999,
 )
 
+NSR = dict(no_stem_stride=True, lsbr_reference=True)
+
+
+def run_stage(cfg):
+    exp = train_b0(cfg, DATA, OUT)
+    return exp.name
+
+
 if __name__ == "__main__":
-    which = sys.argv[1] if len(sys.argv) > 1 else "both"
-    if which in ("nsr", "both"):
-        e = train_b0({**COMMON, "no_stem_stride": True,
-                      "lsbr_reference": True}, DATA, OUT)
-        print("ns-r-B0 done:", e)
-    if which in ("plain", "both"):
-        e = train_b0(dict(COMMON), DATA, OUT)
-        print("B0 done:", e)
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which == "pilot":
+        # quick click-check: easy rates only, short
+        run_stage({**COMMON, **NSR, "alpha": [0.4, 0.2], "val_alpha": [0.2],
+                   "num_epochs": 10})
+    if which in ("nsr", "all"):
+        s1 = run_stage({**COMMON, **NSR, "alpha": [0.4, 0.2, 0.1],
+                        "val_alpha": [0.1], "num_epochs": 40})
+        print("nsr stage1:", s1, flush=True)
+        s2 = run_stage({**COMMON, **NSR, "alpha": [0.1, 0.05, 0.01],
+                        "val_alpha": [0.1, 0.05, 0.01], "num_epochs": 50,
+                        "learning_rate": 1e-4, "resume": s1})
+        print("nsr stage2:", s2, flush=True)
+    if which in ("plain", "all"):
+        s1 = run_stage({**COMMON, "alpha": [0.4, 0.2, 0.1],
+                        "val_alpha": [0.1], "num_epochs": 40})
+        print("plain stage1:", s1, flush=True)
+        s2 = run_stage({**COMMON, "alpha": [0.1, 0.05, 0.01],
+                        "val_alpha": [0.1, 0.05, 0.01], "num_epochs": 50,
+                        "learning_rate": 1e-4, "resume": s1})
+        print("plain stage2:", s2, flush=True)

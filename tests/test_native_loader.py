@@ -56,3 +56,28 @@ def test_pipeline_masks_failed_decodes(tmp_path, data_root):
     batches = list(iterate_batches(tmp_path, df, batch_size=4))
     assert len(batches) == 1
     assert batches[0].mask.tolist() == [True, False, False, False]
+
+
+def test_native_rgby_matches_imread4(data_root, tmp_path):
+    """Native [R,G,B,Y] decode == cv2-based imread4_u8 on gray AND color."""
+    import numpy as np
+    from PIL import Image
+    from wsunet_tpu.io import native
+    from wsunet_tpu.io.imread import imread4_u8
+
+    if not native.available():
+        import pytest
+        pytest.skip("native loader not built")
+
+    rng = np.random.default_rng(3)
+    color = rng.integers(0, 256, (32, 32, 3), dtype="uint8")
+    cpath = tmp_path / "c.png"
+    Image.fromarray(color, "RGB").save(cpath)
+    gpath = data_root / "images" / "6.png"
+
+    out = native.decode_rgby_batch([str(gpath), str(gpath)], threads=2)
+    assert out is not None
+    np.testing.assert_array_equal(out[0], imread4_u8(gpath))
+
+    out = native.decode_rgby_batch([str(cpath)], threads=1)
+    np.testing.assert_array_equal(out[0], imread4_u8(cpath))

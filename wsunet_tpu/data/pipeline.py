@@ -64,6 +64,10 @@ def _decode_many(paths, reader, threads: int,
         out = native.decode_gray_batch([str(p) for p in paths], threads)
         if out is not None:
             return out
+    if native is not None and getattr(reader, "__name__", "") == "imread4_u8":
+        out = native.decode_rgby_batch([str(p) for p in paths], threads)
+        if out is not None:
+            return out
 
     def safe(p):
         try:

@@ -36,6 +36,9 @@ def _load():
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
             ctypes.c_int]
         lib.ws_png_decode_gray_batch.restype = ctypes.c_int
+        lib.ws_png_decode_rgby_batch.argtypes = \
+            lib.ws_png_decode_gray_batch.argtypes
+        lib.ws_png_decode_rgby_batch.restype = ctypes.c_int
         _LIB = lib
     except OSError:
         _LIB = None
@@ -56,9 +59,7 @@ def probe(path) -> tuple:
     return h.value, w.value
 
 
-def decode_gray_batch(paths, threads: int = 8):
-    """Decode same-sized PNGs into a [N, H, W] uint8 array, or None if the
-    native path can't serve this batch (caller falls back to PIL)."""
+def _decode_batch(paths, threads, fn_name, channels):
     lib = _load()
     if lib is None or not paths:
         return None
@@ -66,13 +67,27 @@ def decode_gray_batch(paths, threads: int = 8):
         h, w = probe(paths[0])
     except FileNotFoundError:
         return None
-    out = np.empty((len(paths), h, w), dtype=np.uint8)
+    shape = (len(paths), h, w) if channels == 1 else \
+        (len(paths), h, w, channels)
+    out = np.empty(shape, dtype=np.uint8)
     c_paths = (ctypes.c_char_p * len(paths))(
         *[str(p).encode() for p in paths])
-    failures = lib.ws_png_decode_gray_batch(
+    failures = getattr(lib, fn_name)(
         c_paths, len(paths),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         h, w, threads)
     if failures != 0:
         return None
     return list(out)
+
+
+def decode_gray_batch(paths, threads: int = 8):
+    """Decode same-sized PNGs into a [N, H, W] uint8 array, or None if the
+    native path can't serve this batch (caller falls back to PIL)."""
+    return _decode_batch(paths, threads, "ws_png_decode_gray_batch", 1)
+
+
+def decode_rgby_batch(paths, threads: int = 8):
+    """Decode same-sized PNGs into [N, H, W, 4] uint8 R,G,B,Y (the
+    reference's imread4_u8 layout), or None on fallback."""
+    return _decode_batch(paths, threads, "ws_png_decode_rgby_batch", 4)

@@ -80,15 +80,39 @@ class _MBConv(nn.Module):
         return h
 
 
+# steganalysis high-pass kernels: KB predictor residual, 2nd differences,
+# diagonals, laplacian-like — the classic SRM fixed-filter bank
+_HP_KERNELS = [
+    [[-1, 2, -1], [2, -4, 2], [-1, 2, -1]],   # KB residual (x4)
+    [[0, 0, 0], [1, -2, 1], [0, 0, 0]],        # d2 horizontal
+    [[0, 1, 0], [0, -2, 0], [0, 1, 0]],        # d2 vertical
+    [[1, 0, 0], [0, -2, 0], [0, 0, 1]],        # diagonal
+    [[0, 0, 1], [0, -2, 0], [1, 0, 0]],        # anti-diagonal
+    [[1, 1, 1], [1, -8, 1], [1, 1, 1]],        # laplacian ring
+    [[0, -1, 0], [-1, 4, -1], [0, -1, 0]],     # 4-neighbor residual
+    [[-1, -1, -1], [2, 2, 2], [-1, -1, -1]],   # row detector
+]
+
+_QUAD_PAIRS = 8  # product channels appended by the quadratic stem
+
+
 def _highpass_stem_init(key, shape, dtype=jnp.float32):
-    """Stem initializer seeding half the filters with steganalysis
-    high-pass kernels (KB, 2nd differences, diagonals), cycled over
-    input channels; the rest stay lecun-normal.
+    """Stem initializer seeding filters with steganalysis extractors.
 
     The reference compensates for the weak from-scratch signal by loading
     ImageNet hub weights (detector/models.py:42-62) — not possible here
-    (zero egress), so this gives the detector its low-level residual
-    extractors directly; the classic SRM/SRNet fixed-filter trick.
+    (zero egress), so the detector gets its low-level extractors directly:
+
+    - channels 0..7: the cross-channel CENTER DIFFERENCE (with the
+      LSBr-reference plane the input is [x, x & ~1], so channel0 - channel1
+      is the LSB plane, i.e. (x - x_bar + 1)/2 up to affine) — 8 copies so
+      the quadratic stem can pair each with a distinct residual;
+    - channels 8..15: the high-pass bank on the pixel channel.
+    The quadratic stem multiplies the halves pairwise: LSB * residual IS
+    the per-pixel WS product — the only statistic that separates cover
+    from LSBr stego (cover LSB planes are themselves near-random).
+    For single-channel inputs the first half falls back to the high-pass
+    bank (products become SRM-style co-occurrence energies).
     """
     import numpy as np
 
@@ -96,37 +120,21 @@ def _highpass_stem_init(key, shape, dtype=jnp.float32):
     base = nn.initializers.lecun_normal()(key, shape, dtype)
     if (kh, kw) != (3, 3):
         return base
-    kernels = [
-        np.array([[-1, 2, -1], [2, -4, 2], [-1, 2, -1]], np.float32) / 4.0,
-        np.array([[0, 0, 0], [1, -2, 1], [0, 0, 0]], np.float32) / 2.0,
-        np.array([[0, 1, 0], [0, -2, 0], [0, 1, 0]], np.float32) / 2.0,
-        np.array([[1, 0, 0], [0, -2, 0], [0, 0, 1]], np.float32) / 2.0,
-        np.array([[0, 0, 1], [0, -2, 0], [1, 0, 0]], np.float32) / 2.0,
-    ]
+    kernels = [np.asarray(k, np.float32) / 4.0 for k in _HP_KERNELS]
     center = np.zeros((3, 3), np.float32)
     center[1, 1] = 1.0
-    # build the fixed filters + mask as host constants, then blend into the
-    # random init with jnp.where (this runs inside jit(model.init))
     fixed = np.zeros(shape, np.float32)
     mask = np.zeros(shape, bool)
-    n_diff = 0
-    if cin >= 2:
-        # cross-channel difference extractors: with the LSBr-reference
-        # plane appended (detector input [x, x & ~1, ...]) the channel-0
-        # minus channel-1 center difference IS the LSB plane — the exact
-        # statistic the WS/parity attacks read.  Seed it directly plus its
-        # high-passed variants; a random init takes thousands of steps to
-        # discover this near-null direction (the planes are ~identical).
-        diff_kernels = [center] + kernels
-        n_diff = min(len(diff_kernels), cout // 4)
-        for o in range(n_diff):
-            fixed[:, :, 0, o] = diff_kernels[o] * 8.0
-            fixed[:, :, 1, o] = -diff_kernels[o] * 8.0
-            mask[:, :, :, o] = True
-    for o in range(n_diff, cout // 2):
-        k = kernels[o % len(kernels)]
-        c = o % cin
-        fixed[:, :, c, o] = k
+    n_seed = min(2 * _QUAD_PAIRS, cout)
+    for o in range(n_seed):
+        if o < _QUAD_PAIRS:
+            if cin >= 2:  # LSB-plane extractor (scaled for visibility)
+                fixed[:, :, 0, o] = center * 8.0
+                fixed[:, :, 1, o] = -center * 8.0
+            else:
+                fixed[:, :, 0, o] = kernels[o % len(kernels)]
+        else:
+            fixed[:, :, 0, o] = kernels[(o - _QUAD_PAIRS) % len(kernels)]
         mask[:, :, :, o] = True
     return jnp.where(jnp.asarray(mask), jnp.asarray(fixed, dtype), base)
 
@@ -137,6 +145,13 @@ class EfficientNetB0(nn.Module):
     no_stem_stride: bool = False
     drop_rate: float = 0.2
     stem_init: str = "default"  # "default" | "highpass"
+    # quadratic stem: append pairwise PRODUCTS of stem-feature halves.
+    # Steganalysis is a multiplicative problem — the separating statistic
+    # is the per-pixel WS product (x - x_bar)(x - x_hat); silu-gated
+    # conv stacks take very long to synthesize per-pixel products from
+    # scratch (the reference sidesteps this with ImageNet hub weights).
+    # With the highpass init the products start as LSB x residual planes.
+    quadratic_stem: bool = False
     compute_dtype: typing.Any = jnp.float32
 
     @nn.compact
@@ -149,9 +164,12 @@ class EfficientNetB0(nn.Module):
         h = nn.Conv(32, (3, 3), strides=stem_stride, padding="SAME",
                     use_bias=False, dtype=dt, name="conv_stem",
                     kernel_init=stem_kernel_init)(x)
+        if self.quadratic_stem:
+            prod = h[..., :_QUAD_PAIRS] * h[..., _QUAD_PAIRS:2 * _QUAD_PAIRS]
+            h = jnp.concatenate([h, prod], axis=-1)
         h = nn.silu(nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                  epsilon=1e-3, dtype=dt, name="bn_stem")(h))
-        in_ch = 32
+        in_ch = h.shape[-1]
         for si, (t, c, n, s, k) in enumerate(_B0_STAGES):
             for bi in range(n):
                 h = _MBConv(
@@ -175,6 +193,7 @@ def get_b0(
     no_stem_stride: bool = False,
     drop_rate: float = 0.2,
     stem_init: str = "default",
+    quadratic_stem: bool = False,
     compute_dtype=jnp.float32,
     **_ignored,
 ) -> EfficientNetB0:
@@ -185,5 +204,6 @@ def get_b0(
         no_stem_stride=no_stem_stride,
         drop_rate=drop_rate,
         stem_init=stem_init,
+        quadratic_stem=quadratic_stem,
         compute_dtype=compute_dtype,
     )

@@ -83,6 +83,7 @@ class B0TrainConfig:
     no_stem_stride: bool = False
     lsbr_reference: bool = False
     stem_init: str = "default"          # "default" | "highpass"
+    quadratic_stem: bool = False        # products of stem-feature pairs
     demosaic_oracle: bool = False
     seed: int = 12345
     shape: tuple = (512, 512)
