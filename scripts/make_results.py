@@ -30,8 +30,10 @@ def main():
          "--model-dir", unet_dir, "--stego-method", "dropout"],
         ["unet-eval", "--data", DATA, "--results", results,
          "--model-dir", unet_dir, "--stego-method", "HILLR"],
+        # four-predictor sweep (AVG, KB, UNet_l1, UNet_l1ws_LSBR) + OLS;
+        # writes ws_sweep_LSBR.csv (never the unet-eval golden file)
         ["ws-eval", "--data", DATA, "--results", results,
-         "--model-dir", unet_dir, "--models", "AVG", "KB", "UNet"],
+         "--model-dir", unet_dir, "--models", "AVG", "KB", "OLS", "UNet"],
         ["detector-eval", "--data", DATA, "--results", results,
          "--model-dir", b0_dir],
         ["roc", "--data", DATA, "--results", results,

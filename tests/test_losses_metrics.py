@@ -117,3 +117,35 @@ def test_pmd5fp_meter():
     s = np.concatenate([np.linspace(0, .4, 100), np.linspace(.6, 1, 100)])
     m.update(y, s)
     assert m.avg == pytest.approx(0.0)  # perfectly separable
+
+
+def test_produce_roc_reports_wauc_and_pmd(data_root):
+    """ROC tables surface the training-time meter statistics
+    (wAUC, PMD@5%FP) alongside auc/p_e."""
+    import numpy as np
+    import pandas as pd
+    from wsunet_tpu.detect.roc import produce_roc
+    from wsunet_tpu.detect.metrics import PMD5FPMeter, wAUCMeter
+
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(40):
+        stego = i % 2
+        rows.append({
+            "stego_method": "LSBR" if stego else "Cover",
+            "alpha": 0.1 if stego else 0.0,
+            "model_name": "KB",
+            "beta_hat": rng.normal(0.05 if stego else 0.0, 0.02),
+        })
+    df = produce_roc(pd.DataFrame(rows))
+    assert {"wauc", "pmd_5fp"} <= set(df.columns)
+    w, p = df["wauc"].iloc[0], df["pmd_5fp"].iloc[0]
+    # independent recompute through the meters
+    sub = pd.DataFrame(rows)
+    y = (sub["alpha"] > 0).astype(int).to_numpy()
+    s = np.clip(sub["beta_hat"].to_numpy(), 0, None)
+    wm, pm = wAUCMeter(), PMD5FPMeter()
+    wm.update(y, s)
+    pm.update(y, s)
+    assert abs(w - wm.avg) < 1e-12
+    assert abs(p - pm.avg) < 1e-12
