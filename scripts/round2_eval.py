@@ -1,0 +1,79 @@
+"""Evaluate round-2 staged models (models_r2/) before swapping them in.
+
+Prints pooled detection AUC/P_E (alphas .1/.05/.01, the golden
+auc_0.01.csv protocol) for each staged detector / UNet so the swap
+decision is grounded.  Usage:
+
+    python scripts/round2_eval.py [b0|unet|all]
+"""
+import pathlib
+import sys
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+DATA = pathlib.Path("/root/reference/data")
+ALPHAS = [0.1, 0.05, 0.01]
+
+
+def eval_b0(model_dir):
+    from wsunet_tpu.detect import b0_run, produce_roc
+    out = []
+    for ns, ref in [(True, True), (False, False)]:
+        try:
+            res = b0_run(DATA, model_dir, "LSBR", no_stem_stride=ns,
+                         lsbr_reference=ref, batch_size=8)
+        except (RuntimeError, FileNotFoundError) as e:
+            print(f"skip ns={ns} r={ref}: {e}")
+            continue
+        prefix = ("ns-" if ns else "") + ("r-" if ref else "")
+        res = res[(res["stego_method"].isna()) |
+                  (res["alpha"].isin(ALPHAS))].copy()
+        res["model_name"] = f"{prefix}B0"
+        res["score"] = res["output"]
+        res["stego_method"] = res["stego_method"].fillna("Cover")
+        res["alpha"] = res["alpha"].fillna(0.0)
+        roc = produce_roc(res)
+        summary = roc[["stego_method", "model_name", "auc", "p_e"]
+                      ].drop_duplicates()
+        print(summary.to_string(index=False))
+        out.append(summary)
+    return out
+
+
+def eval_unet(model_dir):
+    from wsunet_tpu.detect import produce_roc
+    from wsunet_tpu.ws import ws_run
+    from wsunet_tpu.utils.registry import get_model_name
+    frames = []
+    name = get_model_name(model_dir, "LSBR")
+    for sm in [None, "LSBR"]:
+        for alpha in (ALPHAS if sm else [None]):
+            frames.append(ws_run(
+                input_dir=DATA, stego_method=sm, alpha=alpha,
+                model_name=name, model_path=model_dir / "LSBR",
+                weighted=0, batch_size=8))
+    res = pd.concat(frames).reset_index(drop=True)
+    res["stego_method"] = res["stego_method"].fillna("Cover")
+    res["alpha"] = res["alpha"].fillna(0.0)
+    roc = produce_roc(res)
+    print(roc[["stego_method", "model_name", "auc", "p_e"]
+              ].drop_duplicates().to_string(index=False))
+    # beta_hat(0.4) parity check
+    b04 = ws_run(input_dir=DATA, stego_method="LSBR", alpha=0.4,
+                 model_name=name, model_path=model_dir / "LSBR",
+                 weighted=0, batch_size=8)
+    print("beta_hat(0.4) mean:", round(float(
+        np.nanmean(b04["beta_hat"])), 4), "(golden ~0.199)")
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which in ("b0", "all"):
+        print("== staged B0 (models_r2/b0) ==")
+        eval_b0(pathlib.Path("models_r2/b0"))
+    if which in ("unet", "all"):
+        print("== staged UNet (models_r2/unet) ==")
+        eval_unet(pathlib.Path("models_r2/unet"))
