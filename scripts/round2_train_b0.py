@@ -49,10 +49,14 @@ if __name__ == "__main__":
                         "learning_rate": 1e-4, "resume": s1})
         print("nsr stage2:", s2, flush=True)
     if which in ("plain", "all"):
-        s1 = run_stage({**COMMON, "alpha": [0.4, 0.2, 0.1],
+        # plain grayscale input: the parity statistic is unreachable for a
+        # conv stem (sawtooth in intensity), so the model-side periodic
+        # featurization stands in (models/b0.py parity_features)
+        plain = {**COMMON, "parity_features": True}
+        s1 = run_stage({**plain, "alpha": [0.4, 0.2, 0.1],
                         "val_alpha": [0.1], "num_epochs": 40})
         print("plain stage1:", s1, flush=True)
-        s2 = run_stage({**COMMON, "alpha": [0.1, 0.05, 0.01],
+        s2 = run_stage({**plain, "alpha": [0.1, 0.05, 0.01],
                         "val_alpha": [0.1, 0.05, 0.01], "num_epochs": 50,
                         "learning_rate": 1e-4, "resume": s1})
         print("plain stage2:", s2, flush=True)

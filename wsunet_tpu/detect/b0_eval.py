@@ -54,6 +54,7 @@ def load_pretrained_b0(
         in_channels=in_channels,
         no_stem_stride=config.get("no_stem_stride", False),
         quadratic_stem=config.get("quadratic_stem", False),
+        parity_features=config.get("parity_features", False),
         compute_dtype=compute_dtype,
     )
     template = jax.eval_shape(

@@ -152,11 +152,25 @@ class EfficientNetB0(nn.Module):
     # scratch (the reference sidesteps this with ImageNet hub weights).
     # With the highpass init the products start as LSB x residual planes.
     quadratic_stem: bool = False
+    # parity features: append cos(pi * x_255) = (-1)^x = x - x_bar as an
+    # input channel — a fixed periodic featurization (Fourier-feature
+    # flavor of the reference's own ParityOracle transform,
+    # _defs/loader.py:73-82) that lets the PLAIN grayscale detector reach
+    # the parity statistic a conv stem cannot express (sawtooth in
+    # intensity).  The pixel input contract is unchanged.
+    parity_features: bool = False
     compute_dtype: typing.Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         dt = self.compute_dtype
+        if self.parity_features:
+            # inputs are ImageNet-green normalized (detect/b0_eval.py);
+            # recover the 0..255 scale for the parity cosine.  Computed in
+            # f32 BEFORE any bf16 cast: parity needs exact integer phase.
+            x255 = (x[..., :1].astype(jnp.float32) * 0.224 + 0.456) * 255.0
+            x = jnp.concatenate(
+                [x, jnp.cos(jnp.pi * x255).astype(x.dtype)], axis=-1)
         x = x.astype(dt)
         stem_stride = (1, 1) if self.no_stem_stride else (2, 2)
         stem_kernel_init = (_highpass_stem_init if self.stem_init == "highpass"
@@ -194,6 +208,7 @@ def get_b0(
     drop_rate: float = 0.2,
     stem_init: str = "default",
     quadratic_stem: bool = False,
+    parity_features: bool = False,
     compute_dtype=jnp.float32,
     **_ignored,
 ) -> EfficientNetB0:
@@ -205,5 +220,6 @@ def get_b0(
         drop_rate=drop_rate,
         stem_init=stem_init,
         quadratic_stem=quadratic_stem,
+        parity_features=parity_features,
         compute_dtype=compute_dtype,
     )

@@ -84,6 +84,7 @@ class B0TrainConfig:
     lsbr_reference: bool = False
     stem_init: str = "default"          # "default" | "highpass"
     quadratic_stem: bool = False        # products of stem-feature pairs
+    parity_features: bool = False       # append cos(pi x) parity channel
     demosaic_oracle: bool = False
     seed: int = 12345
     shape: tuple = (512, 512)

@@ -166,6 +166,7 @@ def train(config: dict, data_path: pathlib.Path, output_dir: pathlib.Path):
         drop_rate=cfg["drop_rate"],
         stem_init=cfg.get("stem_init", "default"),
         quadratic_stem=cfg.get("quadratic_stem", False),
+        parity_features=cfg.get("parity_features", False),
         compute_dtype=jnp.dtype(cfg["compute_dtype"]))
 
     df_tr = precovers(data_path, split=cfg["tr_csv"])
