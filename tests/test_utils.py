@@ -67,3 +67,17 @@ def test_log_compiles_context():
     with log_compiles(True):
         jax.jit(lambda x: x + 1)(jnp.zeros(4))
     assert jax.config.jax_log_compiles is False
+
+
+def test_typed_config_rejects_unknown_keys():
+    import pytest
+    from wsunet_tpu.train.config import B0TrainConfig, UNetTrainConfig
+
+    cfg = UNetTrainConfig.validate({"alpha": 0.2, "loss": "l1"})
+    assert cfg["alpha"] == 0.2 and cfg["network"] == "unet_2"
+    with pytest.raises(ValueError, match="unknown"):
+        UNetTrainConfig.validate({"alhpa": 0.2})  # typo must fail fast
+    b0 = B0TrainConfig.validate({"alpha": [0.1, 0.01], "val_steps": 5})
+    assert b0["alpha"] == [0.1, 0.01]
+    with pytest.raises(ValueError, match="unknown"):
+        B0TrainConfig.validate({"steps": 5})
