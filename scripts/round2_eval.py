@@ -18,13 +18,33 @@ DATA = pathlib.Path("/root/reference/data")
 ALPHAS = [0.1, 0.05, 0.01]
 
 
+def newest_b0_run(model_dir, ns, ref):
+    """Newest matching run (timestamp-prefixed names sort lexically) —
+    the staged tree holds both curriculum stages, so the registry's
+    unique-match rule can't be used directly."""
+    from wsunet_tpu.utils.registry import scan_models
+    df = scan_models(model_dir, "LSBR")
+    if not len(df):
+        return None
+    df = df[(df.no_stem_stride == ns) & (df.lsbr_reference == ref)]
+    if not len(df):
+        return None
+    return sorted(df["model_name"])[-1]
+
+
 def eval_b0(model_dir):
     from wsunet_tpu.detect import b0_run, produce_roc
     out = []
     for ns, ref in [(True, True), (False, False)]:
+        name = newest_b0_run(model_dir, ns, ref)
+        if name is None:
+            print(f"skip ns={ns} r={ref}: no staged run")
+            continue
+        print(f"-- run {name}")
         try:
-            res = b0_run(DATA, model_dir, "LSBR", no_stem_stride=ns,
-                         lsbr_reference=ref, batch_size=8)
+            res = b0_run(DATA, model_dir, "LSBR", model_name=name,
+                         no_stem_stride=ns, lsbr_reference=ref,
+                         batch_size=8)
         except (RuntimeError, FileNotFoundError) as e:
             print(f"skip ns={ns} r={ref}: {e}")
             continue

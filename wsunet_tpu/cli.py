@@ -159,7 +159,11 @@ def main(argv=None):
     from .utils.profiling import nan_check, profile
     with profile(os.environ.get("WSUNET_PROFILE")), \
             nan_check(os.environ.get("WSUNET_DEBUG_NANS") == "1"):
-        return _dispatch(args)
+        try:
+            return _dispatch(args)
+        except (RuntimeError, FileNotFoundError) as e:
+            # registry misses / missing data dirs are user errors, not bugs
+            raise SystemExit(f"{args.command}: {e}")
 
 
 def _dispatch(args):

@@ -39,11 +39,13 @@ def resolve_path(root: pathlib.Path, name: str) -> pathlib.Path:
     cur = pathlib.Path(root)
     for part in pathlib.Path(name).parts:
         nxt = cur / part
-        if not nxt.exists():
+        if not nxt.exists() and cur.is_dir():
             matches = [p for p in cur.iterdir() if p.name.lower() == part.lower()]
             if len(matches) == 1:
                 nxt = matches[0]
         cur = nxt
+    # a truly-missing component resolves to the literal join so callers
+    # (the batched decode path) can treat it as a per-image read failure
     return cur
 
 
