@@ -21,7 +21,7 @@ L1WS = dict(
     crop=320, batch_size=12, augment=True,
     steps_per_epoch=120, num_epochs=120, patience=120,
     learning_rate=1e-4, lr_schedule="cosine",
-    select_metric="ws",
+    select_metric="ws", val_steps=20,
 )
 
 DROPOUT = dict(
@@ -30,7 +30,7 @@ DROPOUT = dict(
     crop=320, batch_size=12, augment=True,
     steps_per_epoch=120, num_epochs=120, patience=120,
     learning_rate=1e-4, lr_schedule="cosine",
-    select_metric="loss",
+    select_metric="loss", val_steps=20,
 )
 
 if __name__ == "__main__":

@@ -40,6 +40,11 @@ class UNetTrainConfig:
     learning_rate: float = 1e-4
     lr_schedule: typing.Optional[str] = None   # None | "cosine"
     select_metric: str = "loss"                # "loss" | "ws"
+    # repeat the (possibly single-cover) val catalog so the selection
+    # metric averages many deterministic crop/embedding draws — with one
+    # val image and one fixed key the cover/stego Bernoulli never varies
+    # and a "ws"-selected run can pin its best checkpoint at epoch 0
+    val_steps: typing.Optional[int] = None
     batch_size: int = 8
     num_epochs: int = 50
     patience: int = 10

@@ -247,11 +247,18 @@ def train(config: dict, data_path: pathlib.Path, output_dir: pathlib.Path):
         va_meter = LossMeter()
         ws_meter = WSMeter()
         mae_meter = MAEMeter(multiplier=255)
+        # val_steps repeats the (possibly single-cover) val catalog so the
+        # selection metric sees many crop/embedding draws (cf. train_b0)
+        df_va_ep = df_va
+        if cfg.get("val_steps"):
+            need = cfg["val_steps"] * cfg["batch_size"]
+            reps = max(1, -(-need // len(df_va)))
+            df_va_ep = pd.concat([df_va] * reps)[:need]
         # deterministic per-batch val keys: the val loss must be an
         # apples-to-apples series across epochs or early stopping fires
         # on embedding-sampling noise
         for vb, batch in enumerate(iterate_batches(
-                data_path, df_va, cfg["batch_size"], cache=True)):
+                data_path, df_va_ep, cfg["batch_size"], cache=True)):
             ek = jax.random.fold_in(jax.random.PRNGKey(cfg["seed"] or 0), vb)
             pixels, mask = shard_batch(
                 mesh, (jnp.asarray(batch.pixels), jnp.asarray(batch.mask)))
