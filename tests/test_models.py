@@ -98,3 +98,32 @@ def test_checkpoint_roundtrip(tmp_path):
                     jax.tree.leaves(restored["params"])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert load_config(tmp_path)["network"] == "unet_1"
+
+
+def test_b0_groupnorm_train_eval_consistent(tmp_path):
+    """norm='group' has no batch_stats; train and eval statistics are the
+    same per-image computation, so a cover/stego-contrastive batch cannot
+    change a single image's features (the BN leakage that collapsed the
+    plain detector at eval, cf. models/b0._make_norm)."""
+    from wsunet_tpu.train import save_checkpoint, load_checkpoint
+
+    model = get_b0(in_channels=1, norm="group", drop_rate=0.0)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, 64, 64, 1))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    assert "batch_stats" not in variables
+    logits_eval = model.apply(variables, x, train=False)
+    logits_train, mutated = model.apply(
+        variables, x, train=True, mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(1)})
+    assert mutated.get("batch_stats", {}) == {}
+    np.testing.assert_allclose(np.asarray(logits_eval),
+                               np.asarray(logits_train), atol=1e-5)
+    # a single image's logits must not depend on its batch companions
+    solo = model.apply(variables, x[:1], train=False)
+    np.testing.assert_allclose(np.asarray(solo[0]),
+                               np.asarray(logits_eval[0]), atol=1e-4)
+    # checkpoint round-trip with the empty batch_stats pytree
+    state = {"params": variables["params"], "batch_stats": {}, "epoch": 1}
+    save_checkpoint(tmp_path, state, is_best=True)
+    restored = load_checkpoint(tmp_path, state, "best")
+    assert restored.get("batch_stats", {}) == {}

@@ -55,17 +55,19 @@ def load_pretrained_b0(
         no_stem_stride=config.get("no_stem_stride", False),
         quadratic_stem=config.get("quadratic_stem", False),
         parity_features=config.get("parity_features", False),
+        norm=config.get("norm", "batch"),
         compute_dtype=compute_dtype,
     )
     template = jax.eval_shape(
         model.init, jax.random.PRNGKey(0),
         jnp.zeros((1, 64, 64, in_channels), jnp.float32))
+    # norm="group" models carry no batch_stats collection
     state = load_checkpoint(exp_dir, {
         "params": template["params"],
-        "batch_stats": template["batch_stats"],
+        "batch_stats": template.get("batch_stats", {}),
     }, "best")
     return model, {"params": state["params"],
-                   "batch_stats": state["batch_stats"]}, config
+                   "batch_stats": state.get("batch_stats", {})}, config
 
 
 def get_b0_detector(

@@ -45,6 +45,26 @@ class _SqueezeExcite(nn.Module):
         return x * nn.sigmoid(s)
 
 
+def _make_norm(kind: str, dtype, train: bool):
+    """Normalization factory: ``batch`` (EfficientNet spec, running stats)
+    or ``group`` (per-image statistics, identical in train and eval).
+
+    Group norm exists for the tiny-corpus from-scratch regime: with
+    cover/stego pairs in every batch, batch statistics let the network
+    normalize contrastively during training — a signal that evaporates
+    under eval-time running averages (observed: plain-B0 train p_e 0.31,
+    eval exactly at chance).  Per-image group stats close that gap.
+    All B0 channel widths here are multiples of 8, so group_size=8.
+    """
+    if kind == "group":
+        return lambda name: nn.GroupNorm(
+            num_groups=None, group_size=8, epsilon=1e-3, dtype=dtype,
+            name=name)
+    return lambda name: nn.BatchNorm(
+        use_running_average=not train, momentum=0.9, epsilon=1e-3,
+        dtype=dtype, name=name)
+
+
 class _MBConv(nn.Module):
     in_ch: int
     out_ch: int
@@ -52,13 +72,12 @@ class _MBConv(nn.Module):
     stride: int
     kernel: int
     se_ratio: float = 0.25
+    norm_kind: str = "batch"
     dtype: typing.Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        norm = lambda name: nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-3,
-            dtype=self.dtype, name=name)
+        norm = _make_norm(self.norm_kind, self.dtype, train)
         h = x
         mid = self.in_ch * self.expand_ratio
         if self.expand_ratio != 1:
@@ -159,11 +178,13 @@ class EfficientNetB0(nn.Module):
     # the parity statistic a conv stem cannot express (sawtooth in
     # intensity).  The pixel input contract is unchanged.
     parity_features: bool = False
+    norm: str = "batch"  # "batch" | "group" (see _make_norm)
     compute_dtype: typing.Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         dt = self.compute_dtype
+        norm = _make_norm(self.norm, dt, train)
         if self.parity_features:
             # inputs are ImageNet-green normalized (detect/b0_eval.py);
             # recover the 0..255 scale for the parity cosine.  Computed in
@@ -181,19 +202,18 @@ class EfficientNetB0(nn.Module):
         if self.quadratic_stem:
             prod = h[..., :_QUAD_PAIRS] * h[..., _QUAD_PAIRS:2 * _QUAD_PAIRS]
             h = jnp.concatenate([h, prod], axis=-1)
-        h = nn.silu(nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                 epsilon=1e-3, dtype=dt, name="bn_stem")(h))
+        h = nn.silu(norm("bn_stem")(h))
         in_ch = h.shape[-1]
         for si, (t, c, n, s, k) in enumerate(_B0_STAGES):
             for bi in range(n):
                 h = _MBConv(
                     in_ch=in_ch, out_ch=c, expand_ratio=t,
-                    stride=s if bi == 0 else 1, kernel=k, dtype=dt,
+                    stride=s if bi == 0 else 1, kernel=k,
+                    norm_kind=self.norm, dtype=dt,
                     name=f"stage{si}_block{bi}")(h, train=train)
                 in_ch = c
         h = nn.Conv(1280, (1, 1), use_bias=False, dtype=dt, name="conv_head")(h)
-        h = nn.silu(nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                 epsilon=1e-3, dtype=dt, name="bn_head")(h))
+        h = nn.silu(norm("bn_head")(h))
         h = jnp.mean(h, axis=(1, 2))
         h = nn.Dropout(self.drop_rate, deterministic=not train)(h)
         logits = nn.Dense(self.num_classes, dtype=jnp.float32,
@@ -209,6 +229,7 @@ def get_b0(
     stem_init: str = "default",
     quadratic_stem: bool = False,
     parity_features: bool = False,
+    norm: str = "batch",
     compute_dtype=jnp.float32,
     **_ignored,
 ) -> EfficientNetB0:
@@ -221,5 +242,6 @@ def get_b0(
         stem_init=stem_init,
         quadratic_stem=quadratic_stem,
         parity_features=parity_features,
+        norm=norm,
         compute_dtype=compute_dtype,
     )

@@ -90,6 +90,7 @@ class B0TrainConfig:
     stem_init: str = "default"          # "default" | "highpass"
     quadratic_stem: bool = False        # products of stem-feature pairs
     parity_features: bool = False       # append cos(pi x) parity channel
+    norm: str = "batch"                 # "batch" | "group" (models/b0.py)
     demosaic_oracle: bool = False
     seed: int = 12345
     shape: tuple = (512, 512)

@@ -119,7 +119,8 @@ def _make_steps(model, optimizer, cfg):
             logits, mutated = model.apply(
                 variables, x, train=True, mutable=["batch_stats"],
                 rngs={"dropout": dropout_key})
-            new_stats = mutated["batch_stats"]
+            # norm="group" has no batch_stats collection to mutate
+            new_stats = mutated.get("batch_stats", batch_stats)
         else:
             logits = model.apply(variables, x, train=False)
             new_stats = batch_stats
@@ -167,6 +168,7 @@ def train(config: dict, data_path: pathlib.Path, output_dir: pathlib.Path):
         stem_init=cfg.get("stem_init", "default"),
         quadratic_stem=cfg.get("quadratic_stem", False),
         parity_features=cfg.get("parity_features", False),
+        norm=cfg.get("norm", "batch"),
         compute_dtype=jnp.dtype(cfg["compute_dtype"]))
 
     df_tr = precovers(data_path, split=cfg["tr_csv"])
@@ -182,7 +184,10 @@ def train(config: dict, data_path: pathlib.Path, output_dir: pathlib.Path):
     variables = jax.jit(model.init)(
         {"params": init_key, "dropout": drop_key},
         jnp.zeros((1, *shape, in_channels), jnp.float32))
-    params, batch_stats = variables["params"], variables["batch_stats"]
+    # norm="group" models carry no batch_stats collection; keep an empty
+    # pytree so the checkpoint/replication plumbing is shape-stable
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
 
     if cfg["resume"]:
         resume_dir = pathlib.Path(output_dir) / cfg["stego_method"] / cfg["resume"]
