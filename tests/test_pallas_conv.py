@@ -58,3 +58,32 @@ def test_custom_vjp_matches_reference_grad():
     for a, c in zip(g_fast, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                    rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("relu", [False, True])
+def test_interpret_relu_fusion(relu):
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 32, 24, 3)).astype("f"))
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, 8)).astype("f"))
+    b = jnp.asarray(rng.normal(size=(8,)).astype("f"))
+    got = _forward(x, w, b, relu=relu, interpret=True)
+    want = _reference(x, w, b, relu=relu)
+    if relu:
+        assert float(jnp.min(got)) >= 0.0
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_custom_vjp_relu_matches_reference_grad():
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 2)).astype("f"))
+    w = jnp.asarray(rng.normal(size=(3, 3, 2, 3)).astype("f"))
+    b = jnp.asarray(rng.normal(size=(3,)).astype("f"))
+    g_fast = jax.grad(lambda *a: jnp.sum(
+        conv3x3_reflect_fused(*a, relu=True) ** 2), argnums=(0, 1, 2))(
+        x, w, b)
+    g_ref = jax.grad(lambda *a: jnp.sum(
+        _reference(*a, relu=True) ** 2), argnums=(0, 1, 2))(x, w, b)
+    for a, c in zip(g_fast, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-5, atol=1e-5)

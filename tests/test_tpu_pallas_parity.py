@@ -39,3 +39,21 @@ def test_fused_ws_matches_xla_on_tpu(data_root, kname, weighted):
         lambda p: ws_attack(p, pixel_kernel=NAMED_FILTERS_2D[kname],
                             weighted=weighted))(pixels))
     np.testing.assert_allclose(fused, xla, rtol=1e-5, atol=1e-6)
+
+
+def test_fast_conv_unet_matches_xla_on_tpu(data_root):
+    """UNet(fast_conv=True) — fused Pallas reflect-conv (+relu) blocks —
+    must reproduce the XLA reference path on real fixture pixels."""
+    from wsunet_tpu.data import iterate_batches, precovers
+    from wsunet_tpu.models import get_model
+
+    df = precovers(data_root)
+    batch = next(iter(iterate_batches(data_root, df, 4)))
+    x = jnp.asarray(batch.pixels, jnp.float32)[..., None] / 255.0
+
+    model = get_model("unet_2")
+    variables = model.init(jax.random.PRNGKey(0), x[:1])
+    slow = model.apply(variables, x)
+    fast = get_model("unet_2", fast_conv=True).apply(variables, x)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(slow),
+                               rtol=2e-4, atol=2e-4)

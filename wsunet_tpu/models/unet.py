@@ -124,6 +124,7 @@ class _Conv3x3Reflect(nn.Module):
     dtype: typing.Any = jnp.float32
     precision: typing.Any = jax.lax.Precision.HIGHEST
     fast: bool = False
+    relu: bool = False  # fused into the Pallas kernel on the fast path
 
     @nn.compact
     def __call__(self, x):
@@ -137,15 +138,18 @@ class _Conv3x3Reflect(nn.Module):
         b = bias.astype(self.dtype)
         if self.fast:
             from ..ops.pallas_conv import conv3x3_reflect_fused
-            return conv3x3_reflect_fused(x, k, b)
-        return jax.lax.conv_general_dilated(
+            return conv3x3_reflect_fused(x, k, b, relu=self.relu)
+        out = jax.lax.conv_general_dilated(
             reflect_pad(x), k, (1, 1), "VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             precision=self.precision) + b
+        return nn.relu(out) if self.relu else out
 
 
 class _ConvBlock(nn.Module):
-    """Two reflect-padded 3x3 convs with ReLU."""
+    """Two reflect-padded 3x3 convs with ReLU (fused in-kernel on the
+    fast path — the separate elementwise relu costs a full HBM round
+    trip of the conv output otherwise)."""
 
     features: int
     dtype: typing.Any = jnp.float32
@@ -157,8 +161,7 @@ class _ConvBlock(nn.Module):
         for i in range(2):
             x = _Conv3x3Reflect(self.features, dtype=self.dtype,
                                 precision=self.precision, fast=self.fast,
-                                name=f"conv{i + 1}")(x)
-            x = nn.relu(x)
+                                relu=True, name=f"conv{i + 1}")(x)
         return x
 
 
@@ -209,17 +212,16 @@ class UNet(nn.Module):
         if self.fast_conv:
             from ..ops.pallas_conv import conv3x3_reflect_fused
             h = conv3x3_reflect_fused(
-                x.astype(self.compute_dtype), k11c, b11c)
+                x.astype(self.compute_dtype), k11c, b11c, relu=True)
         else:
             h = jax.lax.conv_general_dilated(
                 reflect_pad(x.astype(self.compute_dtype)), k11c, (1, 1),
                 "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 precision=self.precision) + b11c
-        h = nn.relu(h)
+            h = nn.relu(h)
         h = _Conv3x3Reflect(widths[0], dtype=self.compute_dtype,
                             precision=self.precision, fast=self.fast_conv,
-                            name="e1_conv2")(h)
-        h = nn.relu(h)
+                            relu=True, name="e1_conv2")(h)
 
         skips = [h]
         for step in range(1, self.nsteps + 1):

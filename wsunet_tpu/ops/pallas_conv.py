@@ -25,7 +25,8 @@ from jax.experimental.pallas import tpu as pltpu
 _TH = 16  # rows per tile; divides every UNet layer height (128/256/512)
 
 
-def _kernel(x_hbm, w_ref, b_ref, out_ref, x_vmem, sem, *, H, W, C, TH):
+def _kernel(x_hbm, w_ref, b_ref, out_ref, x_vmem, sem, *, H, W, C, TH,
+            relu):
     bi = pl.program_id(0)
     ti = pl.program_id(1)
     n_t = pl.num_programs(1)
@@ -73,14 +74,18 @@ def _kernel(x_hbm, w_ref, b_ref, out_ref, x_vmem, sem, *, H, W, C, TH):
             acc = acc + jnp.dot(xs, w_ref[di, dj],
                                 preferred_element_type=jnp.float32)
     acc = acc + b_ref[0].astype(jnp.float32)
+    if relu:
+        # fused activation: the separate elementwise relu otherwise costs
+        # another full HBM read+write of the conv output
+        acc = jnp.maximum(acc, 0.0)
     out_ref[0] = acc.reshape(TH, W, w_ref.shape[-1]).astype(out_ref.dtype)
 
 
-def _forward(x, w, b, interpret=False):
+def _forward(x, w, b, relu=False, interpret=False):
     B, H, W, C = x.shape
     Cout = w.shape[-1]
     TH = _TH
-    kern = functools.partial(_kernel, H=H, W=W, C=C, TH=TH)
+    kern = functools.partial(_kernel, H=H, W=W, C=C, TH=TH, relu=relu)
     return pl.pallas_call(
         kern,
         interpret=interpret,
@@ -101,11 +106,12 @@ def _forward(x, w, b, interpret=False):
     )(x, w, b.reshape(1, Cout))
 
 
-def _reference(x, w, b):
+def _reference(x, w, b, relu=False):
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
-    return jax.lax.conv_general_dilated(
+    out = jax.lax.conv_general_dilated(
         xp, w, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
         precision=jax.lax.Precision.HIGHEST) + b
+    return jnp.maximum(out, 0.0).astype(out.dtype) if relu else out
 
 
 def _supported(x):
@@ -114,22 +120,27 @@ def _supported(x):
             jax.devices()[0].platform == "tpu")
 
 
-@jax.custom_vjp
-def conv3x3_reflect_fused(x, w, b):
-    """Reflect-padded 3x3 conv; Pallas on TPU, XLA fallback elsewhere."""
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _conv3x3_reflect(x, w, b, relu):
     if _supported(x):
-        return _forward(x, w, b)
-    return _reference(x, w, b)
+        return _forward(x, w, b, relu=relu)
+    return _reference(x, w, b, relu=relu)
 
 
-def _fwd(x, w, b):
-    return conv3x3_reflect_fused(x, w, b), (x, w, b)
+def _fwd(x, w, b, relu):
+    return _conv3x3_reflect(x, w, b, relu), (x, w, b)
 
 
-def _bwd(res, g):
+def _bwd(relu, res, g):
     x, w, b = res
-    _, vjp = jax.vjp(_reference, x, w, b)
+    _, vjp = jax.vjp(functools.partial(_reference, relu=relu), x, w, b)
     return vjp(g)
 
 
-conv3x3_reflect_fused.defvjp(_fwd, _bwd)
+_conv3x3_reflect.defvjp(_fwd, _bwd)
+
+
+def conv3x3_reflect_fused(x, w, b, relu=False):
+    """Reflect-padded 3x3 conv (+optional fused relu); Pallas on TPU, XLA
+    fallback elsewhere."""
+    return _conv3x3_reflect(x, w, b, relu)
