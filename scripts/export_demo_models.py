@@ -14,6 +14,11 @@ sys.path.insert(0, str(REPO))
 
 
 def export(src_root: pathlib.Path, keep_keys=("params", "batch_stats", "epoch")):
+    # pin CPU BEFORE the backend initializes: the axon TPU plugin ignores
+    # JAX_PLATFORMS, and orbax restore/save would otherwise block on the
+    # device lock while a training run holds the chip
+    import jax
+    jax.config.update("jax_platforms", "cpu")
     import orbax.checkpoint as ocp
 
     for cfg in sorted(src_root.glob("*/*/config.json")):

@@ -52,7 +52,11 @@ if __name__ == "__main__":
         # plain grayscale input: the parity statistic is unreachable for a
         # conv stem (sawtooth in intensity), so the model-side periodic
         # featurization stands in (models/b0.py parity_features)
-        plain = {**COMMON, "parity_features": True}
+        # norm="group": BN batch statistics normalize contrastively over
+        # the in-batch cover/stego pairs, a signal that evaporates under
+        # eval-time running averages (observed: train p_e 0.31, eval at
+        # chance).  Per-image group stats keep train and eval identical.
+        plain = {**COMMON, "parity_features": True, "norm": "group"}
         s1 = run_stage({**plain, "alpha": [0.4, 0.2, 0.1],
                         "val_alpha": [0.1], "num_epochs": 40})
         print("plain stage1:", s1, flush=True)

@@ -97,3 +97,28 @@ def test_produce_roc_matches_reference_loop_on_golden_scores(results_root):
     np.testing.assert_allclose(roc["tpr"].to_numpy(), tpr, atol=1e-12)
     np.testing.assert_allclose(roc["fpr"].to_numpy(), fpr, atol=1e-12)
     np.testing.assert_allclose(roc["auc"].iloc[0], want_auc, atol=1e-12)
+
+
+def test_produce_roc_degenerate_fallback_rank_auc():
+    """A detector that zeroes every cover (perfect clipped separation)
+    breaks the reference tau-sweep AUC (FPR never moves -> 0/0); the
+    fallback must report the tie-aware rank AUC instead of NaN."""
+    import pandas as pd
+    from wsunet_tpu.detect import produce_roc
+
+    rows = []
+    for i in range(5):
+        rows.append({"name": f"c{i}.png", "stego_method": "Cover",
+                     "alpha": 0.0, "beta_hat": -0.002 * i,
+                     "model_name": "UNet"})
+    betas = [0.05, 0.04, 0.03, 0.02, 0.0]  # one stego ties with covers at 0
+    for i, b in enumerate(betas):
+        rows.append({"name": f"s{i}.png", "stego_method": "LSBR",
+                     "alpha": 0.1, "beta_hat": b, "model_name": "UNet"})
+    roc = produce_roc(pd.DataFrame(rows))
+    auc = roc["auc"].iloc[0]
+    assert np.isfinite(auc)
+    # 4 stego strictly above all covers, 1 tied with all 5 at 0:
+    # (4*5 + 0.5*5) / 25 = 0.9
+    np.testing.assert_allclose(auc, 0.9, atol=1e-12)
+    np.testing.assert_allclose(roc["p_e"].iloc[0], 0.1, atol=1e-12)

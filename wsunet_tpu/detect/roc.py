@@ -51,8 +51,20 @@ def produce_roc(df_ws: pd.DataFrame) -> pd.DataFrame:
         taus, tpr, fpr = _roc_curve_manual(y_hat, y)
 
         bins = np.diff(fpr, prepend=fpr[0])
-        bins = bins / bins.sum()
-        auc = np.sum(bins * tpr)
+        bins_sum = bins.sum()
+        if bins_sum > 0:
+            bins = bins / bins_sum
+            auc = np.sum(bins * tpr)
+        else:
+            # The reference formula (ws/roc.py:198-283) is undefined when
+            # the FPR never moves across the tau sweep — strictly-greater
+            # thresholding never flags a cover whose clipped beta_hat is
+            # exactly 0, so a detector that zeroes EVERY cover (perfect
+            # separation) would report NaN.  Fall back to the tie-aware
+            # rank statistic (Mann-Whitney), which the formula converges
+            # to in non-degenerate cases.
+            from sklearn.metrics import roc_auc_score
+            auc = float(roc_auc_score((y > 0).astype(int), y_hat))
         tau0_idx = np.argmin((1 - tpr + fpr) / 2)
         p_e = ((1 - tpr + fpr) / 2)[tau0_idx]
         # operating point at tau = 0.5

@@ -10,6 +10,7 @@ Parity: reference src/unet/evaluate.py —
   (evaluate.py:151-188, model registry in utils.registry).
 """
 
+import os
 import pathlib
 
 import numpy as np
@@ -48,7 +49,9 @@ def load_pretrained_unet(
     exp_dir = pathlib.Path(model_path) / model_name
     config = load_config(exp_dir)
     if fast_conv == "auto":
-        fast_conv = jax.devices()[0].platform == "tpu"
+        # WSUNET_FAST_CONV=0 forces the XLA path (debug/bisect escape hatch)
+        fast_conv = (jax.devices()[0].platform == "tpu"
+                     and os.environ.get("WSUNET_FAST_CONV", "1") != "0")
     model = get_model(
         config["network"], in_channels=1, out_channels=1,
         drop_rate=None, compute_dtype=compute_dtype, fast_conv=fast_conv)
