@@ -27,19 +27,23 @@ _TH = 16  # rows per tile; divides every UNet layer height (128/256/512)
 
 def _kernel(x_hbm, w_ref, b_ref, out_ref, x_vmem, sem, *, H, W, C, TH,
             relu):
+    # x_hbm is the batch flattened to rows, [B*H, W, C]: 3-D slices with a
+    # dynamic start only on the contiguous row dimension.  (The previous
+    # 4-D form `x.at[bi, pl.ds(...), :, :]` mis-lowered in Mosaic to a
+    # channel-dim slice of size 1 — unaligned-tiling compile error.)
     bi = pl.program_id(0)
     ti = pl.program_id(1)
     n_t = pl.num_programs(1)
 
-    r0 = ti * TH - 1  # first padded row this tile needs
+    r0 = bi * H + ti * TH  # first (unpadded) row of this tile
 
-    # --- halo DMA: rows clamped to [0, H); edge tiles copy one row less
-    # and fill the missing reflect row from VMEM (row -1 == row 1,
+    # --- halo DMA: rows clamped within the image; edge tiles copy one row
+    # less and fill the missing reflect row from VMEM (row -1 == row 1,
     # row H == row H-2).  All slice sizes are static.
     @pl.when(jnp.logical_and(ti > 0, ti < n_t - 1))
     def _interior():
         dma = pltpu.make_async_copy(
-            x_hbm.at[bi, pl.ds(r0, TH + 2), :, :], x_vmem.at[:, 1:W + 1, :],
+            x_hbm.at[pl.ds(r0 - 1, TH + 2), :, :], x_vmem.at[:, 1:W + 1, :],
             sem)
         dma.start()
         dma.wait()
@@ -47,7 +51,7 @@ def _kernel(x_hbm, w_ref, b_ref, out_ref, x_vmem, sem, *, H, W, C, TH,
     @pl.when(ti == 0)
     def _first():
         dma = pltpu.make_async_copy(
-            x_hbm.at[bi, pl.ds(0, TH + 1), :, :],
+            x_hbm.at[pl.ds(r0, TH + 1), :, :],
             x_vmem.at[1:TH + 2, 1:W + 1, :], sem)
         dma.start()
         dma.wait()
@@ -56,7 +60,7 @@ def _kernel(x_hbm, w_ref, b_ref, out_ref, x_vmem, sem, *, H, W, C, TH,
     @pl.when(jnp.logical_and(ti == n_t - 1, n_t > 1))
     def _last():
         dma = pltpu.make_async_copy(
-            x_hbm.at[bi, pl.ds(H - TH - 1, TH + 1), :, :],
+            x_hbm.at[pl.ds(r0 - 1, TH + 1), :, :],
             x_vmem.at[0:TH + 1, 1:W + 1, :], sem)
         dma.start()
         dma.wait()
@@ -78,32 +82,34 @@ def _kernel(x_hbm, w_ref, b_ref, out_ref, x_vmem, sem, *, H, W, C, TH,
         # fused activation: the separate elementwise relu otherwise costs
         # another full HBM read+write of the conv output
         acc = jnp.maximum(acc, 0.0)
-    out_ref[0] = acc.reshape(TH, W, w_ref.shape[-1]).astype(out_ref.dtype)
+    out_ref[...] = acc.reshape(TH, W, w_ref.shape[-1]).astype(out_ref.dtype)
 
 
 def _forward(x, w, b, relu=False, interpret=False):
     B, H, W, C = x.shape
     Cout = w.shape[-1]
     TH = _TH
+    n_t = H // TH
     kern = functools.partial(_kernel, H=H, W=W, C=C, TH=TH, relu=relu)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kern,
         interpret=interpret,
-        grid=(B, H // TH),
+        grid=(B, n_t),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),      # x stays in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),  # full kernel
             pl.BlockSpec(memory_space=pltpu.VMEM),  # bias [1, Cout]
         ],
         out_specs=pl.BlockSpec(
-            (1, TH, W, Cout), lambda bi, ti: (bi, ti, 0, 0),
+            (TH, W, Cout), lambda bi, ti: (bi * n_t + ti, 0, 0),
             memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, H, W, Cout), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((B * H, W, Cout), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((TH + 2, W + 2, C), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
-    )(x, w, b.reshape(1, Cout))
+    )(x.reshape(B * H, W, C), w, b.reshape(1, Cout))
+    return out.reshape(B, H, W, Cout)
 
 
 def _reference(x, w, b, relu=False):
