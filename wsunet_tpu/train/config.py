@@ -91,6 +91,7 @@ class B0TrainConfig:
     quadratic_stem: bool = False        # products of stem-feature pairs
     parity_features: bool = False       # append cos(pi x) parity channel
     norm: str = "batch"                 # "batch" | "group" (models/b0.py)
+    freeze_bn: bool = False             # train against frozen BN stats
     demosaic_oracle: bool = False
     seed: int = 12345
     shape: tuple = (512, 512)

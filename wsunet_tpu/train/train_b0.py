@@ -113,9 +113,19 @@ def _make_steps(model, optimizer, cfg):
         w = jnp.concatenate([mask, mask]).astype(jnp.float32)
         return x, y, w
 
+    # freeze_bn: train against the FROZEN running statistics (the ones
+    # eval will use).  Batch statistics over in-batch cover/stego pairs
+    # normalize contrastively — a shortcut that evaporates at eval time
+    # (observed: plain detector train p_e 0.31, eval at chance).  With
+    # frozen stats the train-mode objective IS the eval-mode computation,
+    # so only per-image features can reduce the loss.  Start from a
+    # recalibrated checkpoint (scripts/bn_recalibrate.py).  Head dropout
+    # is off in this mode (train=False apply).
+    freeze_bn = cfg.get("freeze_bn", False)
+
     def loss_fn(params, batch_stats, x, y, w, dropout_key, train):
         variables = {"params": params, "batch_stats": batch_stats}
-        if train:
+        if train and not freeze_bn:
             logits, mutated = model.apply(
                 variables, x, train=True, mutable=["batch_stats"],
                 rngs={"dropout": dropout_key})
