@@ -154,6 +154,16 @@ def run_bench(dtype: str = "bfloat16", iters: int = 20,
     flops_per_exec = _cost_flops(
         jax.jit(ref_step).lower(pixels).compile())
 
+    fast_conv_used = fast
+    try:
+        jax.block_until_ready(step(pixels))
+    except Exception as e:
+        # fused-conv compile failure must not kill the headline number:
+        # fall back to the XLA path and record the degradation
+        fast_conv_used = False
+        fast_conv_error = f"{type(e).__name__}: {str(e)[:200]}"
+        step = ref_step
+
     for _ in range(warmup):
         jax.block_until_ready(step(pixels))
     # pipelined dispatch: enqueue all iterations, block once — measures
@@ -178,7 +188,10 @@ def run_bench(dtype: str = "bfloat16", iters: int = 20,
         "device": str(device),
         "flops_per_image": round(flops_per_exec / batch_size / 1e9, 2),
         "tflops_per_sec": round(flops_per_exec * iters / dt / 1e12, 2),
+        "fast_conv": fast_conv_used,
     }
+    if not fast_conv_used and fast:
+        out["fast_conv_error"] = fast_conv_error
     if peak:
         out["mfu"] = round(flops_per_exec * iters / dt / peak, 4)
     if device.platform == "tpu":
