@@ -63,37 +63,57 @@ def eval_b0(model_dir):
     return out
 
 
-def eval_unet(model_dir):
+def eval_unet(model_dir, train_method="LSBR"):
+    """Pooled detection AUC/P_E for a staged UNet.
+
+    train_method "LSBR"/"HILLR": detection of that stego method at the
+    golden alphas + beta_hat(0.4) parity check.  "dropout": the golden
+    profile is a near-identity denoiser (ws_dropout.csv: cover beta_hat
+    ~0.0025-0.02, l1 ~0.3 gray levels) — report those instead of AUC."""
     from wsunet_tpu.detect import produce_roc
     from wsunet_tpu.ws import ws_run
     from wsunet_tpu.utils.registry import get_model_name
+    name = get_model_name(model_dir, train_method)
+    print(f"-- run {name}")
+    kw = dict(model_name=name, model_path=model_dir / train_method,
+              weighted=0, batch_size=8)
+    if train_method == "dropout":
+        cov = ws_run(input_dir=DATA, stego_method=None, alpha=None, **kw)
+        print("cover beta_hat:", np.round(cov["beta_hat"].to_numpy(), 4),
+              "\ncover l1 (gray levels):",
+              np.round(cov["l1"].to_numpy(), 3),
+              "\n(golden ws_dropout.csv: beta 0.0025-0.02, l1 ~0.3)")
+        return
+    sm = train_method
     frames = []
-    name = get_model_name(model_dir, "LSBR")
-    for sm in [None, "LSBR"]:
-        for alpha in (ALPHAS if sm else [None]):
-            frames.append(ws_run(
-                input_dir=DATA, stego_method=sm, alpha=alpha,
-                model_name=name, model_path=model_dir / "LSBR",
-                weighted=0, batch_size=8))
+    for method in [None, sm]:
+        for alpha in (ALPHAS if method else [None]):
+            frames.append(ws_run(input_dir=DATA, stego_method=method,
+                                 alpha=alpha, **kw))
     res = pd.concat(frames).reset_index(drop=True)
     res["stego_method"] = res["stego_method"].fillna("Cover")
     res["alpha"] = res["alpha"].fillna(0.0)
     roc = produce_roc(res)
     print(roc[["stego_method", "model_name", "auc", "p_e"]
               ].drop_duplicates().to_string(index=False))
-    # beta_hat(0.4) parity check
-    b04 = ws_run(input_dir=DATA, stego_method="LSBR", alpha=0.4,
-                 model_name=name, model_path=model_dir / "LSBR",
-                 weighted=0, batch_size=8)
+    b04 = ws_run(input_dir=DATA, stego_method=sm, alpha=0.4, **kw)
     print("beta_hat(0.4) mean:", round(float(
-        np.nanmean(b04["beta_hat"])), 4), "(golden ~0.199)")
+        np.nanmean(b04["beta_hat"])), 4),
+        "(golden ~0.199 for LSBR)" if sm == "LSBR" else "")
 
 
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    root = pathlib.Path("models_r2/unet")
     if which in ("b0", "all"):
         print("== staged B0 (models_r2/b0) ==")
         eval_b0(pathlib.Path("models_r2/b0"))
-    if which in ("unet", "all"):
-        print("== staged UNet (models_r2/unet) ==")
-        eval_unet(pathlib.Path("models_r2/unet"))
+    if which in ("unet", "lsbr", "all"):
+        print("== staged UNet LSBR ==")
+        eval_unet(root, "LSBR")
+    if which in ("hillr", "all") and (root / "HILLR").exists():
+        print("== staged UNet HILLR ==")
+        eval_unet(root, "HILLR")
+    if which in ("dropout", "all") and (root / "dropout").exists():
+        print("== staged UNet dropout ==")
+        eval_unet(root, "dropout")
