@@ -46,3 +46,29 @@ def test_train_b0_resume_smoke(tmp_path, reference_root, tiny_b0_cfg):
                    reference_root / "data", tmp_path)
     assert (second / "model" / "best").exists()
     assert second != first
+
+
+@pytest.mark.skipif("WSUNET_SLOW_TESTS" not in __import__("os").environ,
+                    reason="~7 min on the 1-core CI host (512^2 forwards); "
+                           "run with WSUNET_SLOW_TESTS=1 (passed 2026-08-17)")
+def test_bn_recalibrate_smoke(tmp_path, reference_root, tiny_b0_cfg):
+    """Recalibration must refresh batch_stats without touching params and
+    register an evaluable -bnrecal sibling run."""
+    import jax
+    from wsunet_tpu.train.train_b0 import train
+    from wsunet_tpu.train.checkpoint import load_checkpoint
+    from scripts.bn_recalibrate import recalibrate
+
+    exp = train(dict(tiny_b0_cfg), reference_root / "data", tmp_path)
+    dst = recalibrate(tmp_path, "LSBR", exp.name, num_batches=2,
+                      batch_size=2)
+    assert dst.name == exp.name + "-bnrecal"
+    before = load_checkpoint(exp, None, "best")
+    after = load_checkpoint(dst, None, "best")
+    for a, b in zip(jax.tree.leaves(before["params"]),
+                    jax.tree.leaves(after["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    diffs = [float(abs(np.asarray(a) - np.asarray(b)).max())
+             for a, b in zip(jax.tree.leaves(before["batch_stats"]),
+                             jax.tree.leaves(after["batch_stats"]))]
+    assert max(diffs) > 0.0  # stats actually moved
