@@ -39,7 +39,7 @@ class UNetTrainConfig:
     loss_lambda: float = 0.25
     learning_rate: float = 1e-4
     lr_schedule: typing.Optional[str] = None   # None | "cosine"
-    select_metric: str = "loss"                # "loss" | "ws"
+    select_metric: str = "loss"                # "loss" | "ws" | "last"
     # repeat the (possibly single-cover) val catalog so the selection
     # metric averages many deterministic crop/embedding draws — with one
     # val image and one fixed key the cover/stego Bernoulli never varies
@@ -77,7 +77,7 @@ class B0TrainConfig:
     loss: str = "crossentropy"
     learning_rate: float = 1e-4
     lr_schedule: typing.Optional[str] = None
-    select_metric: str = "loss"         # "loss" | "p_e"
+    select_metric: str = "loss"         # "loss" | "p_e" | "last"
     val_alpha: typing.Any = None        # rate(s) for validation pairs
     val_steps: typing.Optional[int] = None
     batch_size: int = 8

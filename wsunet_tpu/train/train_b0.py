@@ -282,7 +282,10 @@ def train(config: dict, data_path: pathlib.Path, output_dir: pathlib.Path):
         state = {"params": params, "batch_stats": batch_stats,
                  "opt_state": opt_state, "epoch": epoch,
                  "best_val_loss": float(best_val_loss), "patience": patience}
-        is_best = val_loss < best_val_loss
+        # "last": best tracks the end of the schedule (see train_unet.py —
+        # noisy small-val-set meters make min-selection a lottery)
+        is_best = (True if cfg.get("select_metric") == "last"
+                   else val_loss < best_val_loss)
         save_checkpoint(exp_dir, state, is_best=is_best)
         if is_best:
             patience = cfg["patience"]

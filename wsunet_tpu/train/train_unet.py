@@ -281,7 +281,13 @@ def train(config: dict, data_path: pathlib.Path, output_dir: pathlib.Path):
         state = {"params": params, "opt_state": opt_state,
                  "epoch": epoch, "best_val_loss": float(best_val_loss),
                  "patience": patience}
-        is_best = val_loss < best_val_loss
+        # "last": best tracks the end of the schedule.  Round-2 finding:
+        # with a tiny val set the per-epoch WS meter is noisy enough that
+        # min-selection pins a lucky early epoch — the completed-cosine
+        # model beat it decisively on the real eval protocol (LSBR
+        # rank-AUC 0.967 vs 0.893, HILLR 0.800 vs 0.567).
+        is_best = (True if cfg.get("select_metric") == "last"
+                   else val_loss < best_val_loss)
         save_checkpoint(exp_dir, state, is_best=is_best)
         if is_best:
             patience = cfg["patience"]
