@@ -33,6 +33,30 @@ def infer_unet(model, variables, x: jnp.ndarray) -> jnp.ndarray:
     return y[:, 1:-1, 1:-1, 0] * 255.0
 
 
+_FAST_CONV_OK = None
+
+
+def _fast_conv_compiles() -> bool:
+    """One cached on-device compile probe of the fused reflect-conv.
+
+    A Mosaic regression must downgrade eval sweeps to the XLA path, not
+    crash them (the results regeneration runs unattended)."""
+    global _FAST_CONV_OK
+    if _FAST_CONV_OK is None:
+        try:
+            from ..ops.pallas_conv import _forward
+            x = jnp.zeros((1, 32, 16, 8), jnp.float32)
+            w = jnp.zeros((3, 3, 8, 8), jnp.float32)
+            jax.block_until_ready(_forward(x, w, jnp.zeros((8,))))
+            _FAST_CONV_OK = True
+        except Exception as e:  # noqa: BLE001 — any compile failure
+            import logging
+            logging.getLogger("wsunet_tpu").warning(
+                "fused reflect-conv unavailable, using XLA convs: %s", e)
+            _FAST_CONV_OK = False
+    return _FAST_CONV_OK
+
+
 def load_pretrained_unet(
     model_path: pathlib.Path,
     model_name: str,
@@ -51,7 +75,8 @@ def load_pretrained_unet(
     if fast_conv == "auto":
         # WSUNET_FAST_CONV=0 forces the XLA path (debug/bisect escape hatch)
         fast_conv = (jax.devices()[0].platform == "tpu"
-                     and os.environ.get("WSUNET_FAST_CONV", "1") != "0")
+                     and os.environ.get("WSUNET_FAST_CONV", "1") != "0"
+                     and _fast_conv_compiles())
     model = get_model(
         config["network"], in_channels=1, out_channels=1,
         drop_rate=None, compute_dtype=compute_dtype, fast_conv=fast_conv)
