@@ -78,7 +78,9 @@ def eval_unet(model_dir, train_method="LSBR"):
     kw = dict(model_name=name, model_path=model_dir / train_method,
               weighted=0, batch_size=8)
     if train_method == "dropout":
-        cov = ws_run(input_dir=DATA, stego_method=None, alpha=None, **kw)
+        from wsunet_tpu.ws.unet_eval import run as unet_run
+        # eval_methods=() -> covers only; every row is a cover
+        cov = unet_run(DATA, model_dir, "dropout", eval_methods=())
         print("cover beta_hat:", np.round(cov["beta_hat"].to_numpy(), 4),
               "\ncover l1 (gray levels):",
               np.round(cov["l1"].to_numpy(), 3),
