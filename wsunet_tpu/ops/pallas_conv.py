@@ -22,15 +22,24 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_TH = 16  # rows per tile; divides every UNet layer height (128/256/512)
+_TH = 8  # rows per tile; divides every UNet layer height (128/256/512).
+# 8 (not 16) keeps the f32 roll temporaries inside VMEM at W=512.
 
 
 def _kernel(x_hbm, w_ref, b_ref, out_ref, x_vmem, sem, *, H, W, C, TH,
             relu):
-    # x_hbm is the batch flattened to rows, [B*H, W, C]: 3-D slices with a
-    # dynamic start only on the contiguous row dimension.  (The previous
-    # 4-D form `x.at[bi, pl.ds(...), :, :]` mis-lowered in Mosaic to a
-    # channel-dim slice of size 1 — unaligned-tiling compile error.)
+    # x_hbm is the batch flattened to rows, [B*H, W, C]: every DMA slices
+    # only the untiled leading row dimension (dynamic start, static size)
+    # with the tiled (W, C) dims copied whole.  Mosaic constraints that
+    # shaped this design (all reproduced on v5e):
+    #   - `.at[]` with explicit trailing `:` slices mis-lowers the LAST
+    #     dim to size 1 ("Slice shape along dimension N must be aligned
+    #     to tiling (128), but is 1") — leading-dim-only `.at[pl.ds(...)]`
+    #     is the working spelling;
+    #   - a W-padded VMEM destination (`x_vmem[:, 1:W+1, :]`) puts an
+    #     offset-1 slice on the SUBLANE dim — unaligned.
+    # So the scratch is unpadded in W and the reflect boundary is applied
+    # at matmul time with sublane rolls + iota selects (vector ops only).
     bi = pl.program_id(0)
     ti = pl.program_id(1)
     n_t = pl.num_programs(1)
@@ -43,40 +52,56 @@ def _kernel(x_hbm, w_ref, b_ref, out_ref, x_vmem, sem, *, H, W, C, TH,
     @pl.when(jnp.logical_and(ti > 0, ti < n_t - 1))
     def _interior():
         dma = pltpu.make_async_copy(
-            x_hbm.at[pl.ds(r0 - 1, TH + 2), :, :], x_vmem.at[:, 1:W + 1, :],
-            sem)
+            x_hbm.at[pl.ds(r0 - 1, TH + 2)], x_vmem, sem)
         dma.start()
         dma.wait()
 
     @pl.when(ti == 0)
     def _first():
         dma = pltpu.make_async_copy(
-            x_hbm.at[pl.ds(r0, TH + 1), :, :],
-            x_vmem.at[1:TH + 2, 1:W + 1, :], sem)
+            x_hbm.at[pl.ds(r0, TH + 1)], x_vmem.at[1:TH + 2], sem)
         dma.start()
         dma.wait()
-        x_vmem[0, 1:W + 1, :] = x_vmem[2, 1:W + 1, :]
+        x_vmem[0] = x_vmem[2]
 
     @pl.when(jnp.logical_and(ti == n_t - 1, n_t > 1))
     def _last():
         dma = pltpu.make_async_copy(
-            x_hbm.at[pl.ds(r0 - 1, TH + 1), :, :],
-            x_vmem.at[0:TH + 1, 1:W + 1, :], sem)
+            x_hbm.at[pl.ds(r0 - 1, TH + 1)], x_vmem.at[0:TH + 1], sem)
         dma.start()
         dma.wait()
-        x_vmem[TH + 1, 1:W + 1, :] = x_vmem[TH - 1, 1:W + 1, :]
+        x_vmem[TH + 1] = x_vmem[TH - 1]
 
-    # reflect in W (padded col -1 == col 1, col W == col W-2)
-    x_vmem[:, 0, :] = x_vmem[:, 2, :]
-    x_vmem[:, W + 1, :] = x_vmem[:, W - 1, :]
-
-    # --- nine shifted MXU contractions, f32 accumulation
+    # --- nine shifted MXU contractions, f32 accumulation.  Column shifts
+    # are rolls along the sublane (W) dim; the reflect boundary replaces
+    # the wrapped column via an iota select of the opposite roll:
+    #   left neighbor  (dj=0): col 0 must be x[:, 1]  == roll(-1) there
+    #   right neighbor (dj=2): col W-1 must be x[:, W-2] == roll(+1) there
+    col = jax.lax.broadcasted_iota(jnp.int32, (TH, W, C), 1)
+    # tpu.dynamic_rotate only handles 32-bit data: bf16 tiles are rolled
+    # (and contracted) in f32.  The HBM traffic stays bf16 — only VMEM
+    # temporaries widen — and for bf16 inputs DEFAULT dot precision keeps
+    # the native single-pass MXU path.  f32 inputs pin HIGHEST (otherwise
+    # the MXU's bf16 passes cost ~1e-2 relative error vs the XLA
+    # reference the golden suite compares against).
+    hi_prec = x_vmem.dtype == jnp.float32
+    prec = (jax.lax.Precision.HIGHEST if hi_prec
+            else jax.lax.Precision.DEFAULT)
     acc = jnp.zeros((TH * W, w_ref.shape[-1]), jnp.float32)
     for di in range(3):
+        rows = x_vmem[di:di + TH].astype(jnp.float32)
+        r_plus = pltpu.roll(rows, 1, axis=1)
+        r_minus = pltpu.roll(rows, W - 1, axis=1)  # pltpu.roll: shift >= 0
+        shifted = (
+            jnp.where(col == 0, r_minus, r_plus),        # dj=0
+            rows,                                        # dj=1
+            jnp.where(col == W - 1, r_plus, r_minus),    # dj=2
+        )
         for dj in range(3):
-            xs = x_vmem[di:di + TH, dj:dj + W, :].reshape(TH * W, C)
-            acc = acc + jnp.dot(xs, w_ref[di, dj],
-                                preferred_element_type=jnp.float32)
+            xs = shifted[dj].reshape(TH * W, C)
+            acc = acc + jnp.dot(xs, w_ref[di, dj].astype(jnp.float32),
+                                preferred_element_type=jnp.float32,
+                                precision=prec)
     acc = acc + b_ref[0].astype(jnp.float32)
     if relu:
         # fused activation: the separate elementwise relu otherwise costs
@@ -105,7 +130,7 @@ def _forward(x, w, b, relu=False, interpret=False):
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B * H, W, Cout), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((TH + 2, W + 2, C), x.dtype),
+            pltpu.VMEM((TH + 2, W, C), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
     )(x.reshape(B * H, W, C), w, b.reshape(1, Cout))
@@ -120,15 +145,28 @@ def _reference(x, w, b, relu=False):
     return jnp.maximum(out, 0.0).astype(out.dtype) if relu else out
 
 
-def _supported(x):
+def _supported(x, w):
+    """Shapes the kernel compiles for on this Mosaic version (v5e-probed
+    truth table over every eligible unet_2 layer, 2026-08-17):
+
+    - C % 128 == 0: the halo DMA slices rows of the [B*H, W, C] memref;
+      Mosaic requires lane-dim (C) slices aligned to the 128-lane tile,
+      so C = 1/64 inputs cannot use the manual-DMA path at all.
+    - bf16: every C%128 layer up to W=512 compiles and matches XLA
+      (<=2.5e-3 rel; rolls+dots run in f32, DMA stays bf16).
+    - f32: W <= 256 (HIGHEST-precision dot splits double the VMEM
+      temporaries; C128->64 @ W=512 over-allocates the stack).
+    Ineligible layers fall back to the XLA reference (reflect pad+conv).
+    """
     B, H, W, C = x.shape
-    return (H % _TH == 0 and H >= 2 * _TH and W >= 8 and
-            jax.devices()[0].platform == "tpu")
+    max_w = 512 if x.dtype == jnp.bfloat16 else 256
+    return (H % _TH == 0 and H >= 2 * _TH and 8 <= W <= max_w and
+            C % 128 == 0 and jax.devices()[0].platform == "tpu")
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _conv3x3_reflect(x, w, b, relu):
-    if _supported(x):
+    if _supported(x, w):
         return _forward(x, w, b, relu=relu)
     return _reference(x, w, b, relu=relu)
 

@@ -45,8 +45,9 @@ def _fast_conv_compiles() -> bool:
     if _FAST_CONV_OK is None:
         try:
             from ..ops.pallas_conv import _forward
-            x = jnp.zeros((1, 32, 16, 8), jnp.float32)
-            w = jnp.zeros((3, 3, 8, 8), jnp.float32)
+            # an eligible shape (C % 128 == 0, cf. pallas_conv._supported)
+            x = jnp.zeros((1, 32, 16, 128), jnp.float32)
+            w = jnp.zeros((3, 3, 128, 8), jnp.float32)
             jax.block_until_ready(_forward(x, w, jnp.zeros((8,))))
             _FAST_CONV_OK = True
         except Exception as e:  # noqa: BLE001 — any compile failure
