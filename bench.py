@@ -14,7 +14,8 @@ from wsunet_tpu.bench import run_bench
 def main():
     out = run_bench()
     keys = ["metric", "value", "unit", "vs_baseline", "mfu",
-            "flops_per_image", "tflops_per_sec", "ws_fused"]
+            "flops_per_image", "tflops_per_sec", "fast_conv",
+            "fast_conv_error", "ws_fused"]
     print(json.dumps({k: out[k] for k in keys if k in out}))
 
 

@@ -74,9 +74,11 @@ def load_pretrained_unet(
     exp_dir = pathlib.Path(model_path) / model_name
     config = load_config(exp_dir)
     if fast_conv == "auto":
-        # WSUNET_FAST_CONV=0 forces the XLA path (debug/bisect escape hatch)
+        # opt-in: the fused kernel is parity-correct but its per-tile DMA
+        # is not double-buffered yet — measured SLOWER than XLA's conv
+        # pipeline on v5e (244 vs 439 img/s), so XLA is the default
         fast_conv = (jax.devices()[0].platform == "tpu"
-                     and os.environ.get("WSUNET_FAST_CONV", "1") != "0"
+                     and os.environ.get("WSUNET_FAST_CONV") == "1"
                      and _fast_conv_compiles())
     model = get_model(
         config["network"], in_channels=1, out_channels=1,
