@@ -120,14 +120,14 @@ def run_bench(dtype: str = "bfloat16", iters: int = 20,
     precision = (jax.lax.Precision.DEFAULT if compute_dtype == jnp.bfloat16
                  else jax.lax.Precision.HIGHEST)
     from .models.unet import UNet
-    # Measured on v5e (2026-08-17, batch 32/64): the fused reflect-conv
-    # kernel is numerically right but SLOWER than XLA's conv pipeline
-    # (244 vs 439 img/s) — its per-tile DMA start/wait is not
-    # double-buffered, so HBM latency serializes.  The XLA path is the
-    # throughput default; WSUNET_BENCH_FAST_CONV=1 opts into the kernel.
     import os
-    fast = (jax.devices()[0].platform == "tpu"
-            and os.environ.get("WSUNET_BENCH_FAST_CONV") == "1")
+    mode = os.environ.get("WSUNET_BENCH_FAST_CONV", "borderfix")
+    fast = False
+    if jax.devices()[0].platform == "tpu":
+        # default "borderfix": SAME conv + border corrections (pure XLA,
+        # exact; 510 vs 439 img/s measured on v5e).  "1": the Pallas
+        # fused kernel (opt-in).  "0": plain reflect-pad XLA.
+        fast = {"1": True, "borderfix": "borderfix"}.get(mode, False)
     model = UNet(nsteps=2, compute_dtype=compute_dtype, precision=precision,
                  fast_conv=fast)
 

@@ -136,6 +136,11 @@ class _Conv3x3Reflect(nn.Module):
         x = x.astype(self.dtype)
         k = kernel.astype(self.dtype)
         b = bias.astype(self.dtype)
+        if self.fast == "borderfix":
+            from ..ops.reflect_conv import conv3x3_reflect_borderfix
+            out = conv3x3_reflect_borderfix(
+                x, k, b, relu=self.relu, precision=self.precision)
+            return out
         if self.fast:
             from ..ops.pallas_conv import conv3x3_reflect_fused
             return conv3x3_reflect_fused(x, k, b, relu=self.relu)
@@ -209,7 +214,12 @@ class UNet(nn.Module):
             k11 = k11 * jnp.asarray(mask, k11.dtype)
         k11c = k11.astype(self.compute_dtype)
         b11c = b11.astype(self.compute_dtype)
-        if self.fast_conv:
+        if self.fast_conv == "borderfix":
+            from ..ops.reflect_conv import conv3x3_reflect_borderfix
+            h = conv3x3_reflect_borderfix(
+                x.astype(self.compute_dtype), k11c, b11c, relu=True,
+                precision=self.precision)
+        elif self.fast_conv:
             from ..ops.pallas_conv import conv3x3_reflect_fused
             h = conv3x3_reflect_fused(
                 x.astype(self.compute_dtype), k11c, b11c, relu=True)

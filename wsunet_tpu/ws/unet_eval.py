@@ -74,12 +74,18 @@ def load_pretrained_unet(
     exp_dir = pathlib.Path(model_path) / model_name
     config = load_config(exp_dir)
     if fast_conv == "auto":
-        # opt-in: the fused kernel is parity-correct but its per-tile DMA
-        # is not double-buffered yet — measured SLOWER than XLA's conv
-        # pipeline on v5e (244 vs 439 img/s), so XLA is the default
-        fast_conv = (jax.devices()[0].platform == "tpu"
-                     and os.environ.get("WSUNET_FAST_CONV") == "1"
-                     and _fast_conv_compiles())
+        # default on TPU: the border-corrected SAME conv (pure XLA,
+        # exact reflect math, no pad materialization — 510 vs 439 img/s
+        # measured).  WSUNET_FAST_CONV=1 opts into the Pallas kernel
+        # (parity-correct, currently slower: per-tile DMA not
+        # double-buffered); =0 forces the plain reflect-pad XLA path.
+        mode = os.environ.get("WSUNET_FAST_CONV", "borderfix")
+        fast_conv = False
+        if jax.devices()[0].platform == "tpu":
+            if mode == "1" and _fast_conv_compiles():
+                fast_conv = True
+            elif mode == "borderfix":
+                fast_conv = "borderfix"
     model = get_model(
         config["network"], in_channels=1, out_channels=1,
         drop_rate=None, compute_dtype=compute_dtype, fast_conv=fast_conv)
