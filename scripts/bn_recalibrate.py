@@ -59,7 +59,17 @@ def recalibrate(family_dir, method, run_name, num_batches=80, batch_size=4):
         if (cfg.get("stego_method", "LSBR")).upper().startswith("LSB"):
             stego = lsbr_simulate(cover_u8, a, ke)
         else:
-            stego = hillr_simulate(cover_u8, float(rates[0]))
+            # select the per-sample rate for HILLR too (hillr_simulate
+            # flips a static count per rate, so compute each candidate and
+            # pick per image) — a fixed rates[0] would recalibrate against
+            # a narrower embedding distribution than training saw
+            r = jnp.asarray(rates, jnp.float32)
+            idx = jnp.argmin(jnp.abs(r[:, None] - a[None, :]), axis=0)
+            stego = cover_u8
+            for i, rate in enumerate(rates):
+                stego = jnp.where((idx == i)[:, None, None],
+                                  hillr_simulate(cover_u8, float(rate)),
+                                  stego)
         x = jnp.concatenate([preprocess(cover_u8), preprocess(stego)])
         _, mutated = model.apply(
             {"params": variables["params"], "batch_stats": batch_stats},

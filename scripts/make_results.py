@@ -36,8 +36,13 @@ def main():
          "--model-dir", unet_dir, "--models", "AVG", "KB", "OLS", "UNet"],
         ["detector-eval", "--data", DATA, "--results", results,
          "--model-dir", b0_dir],
+        # HILLR curves land in the committed artifacts alongside LSBR
+        # (VERDICT r2 #4): the LSBR-trained detectors are evaluated on
+        # HILLR stego like the reference sweep, and the HILLR-trained
+        # UNet joins as its own "UNet_HILLR" rows (with cover passes)
         ["roc", "--data", DATA, "--results", results,
-         "--unet-model-dir", unet_dir, "--b0-model-dir", b0_dir, "--b0"],
+         "--unet-model-dir", unet_dir, "--b0-model-dir", b0_dir, "--b0",
+         "--stego-methods", "LSBR", "HILLR"],
         ["correlation", "--data", DATA, "--results", results,
          "--model-dir", unet_dir],
         ["error-boxes", "--data", DATA, "--results", results,

@@ -95,7 +95,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--alphas", nargs="+", type=float, default=[.1, .05, .01])
     p.add_argument("--models", nargs="+", default=["AVG", "KB", "UNet"])
     p.add_argument("--b0", action="store_true", help="include B0 detectors")
-    p.add_argument("--b0-train-alpha", type=float, default=.01)
+    p.add_argument("--b0-train-alpha", type=float, default=None,
+                   help="registry filter on the B0 training alpha (labels "
+                        "always come from the model's own config)")
 
     p = sub.add_parser("train-unet", help="train the U-Net predictor")
     _common(p)
@@ -156,13 +158,18 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None):
     args = build_parser().parse_args(argv)
     import os
+    from .utils import UserError
     from .utils.profiling import nan_check, profile
     with profile(os.environ.get("WSUNET_PROFILE")), \
             nan_check(os.environ.get("WSUNET_DEBUG_NANS") == "1"):
         try:
             return _dispatch(args)
-        except (RuntimeError, FileNotFoundError) as e:
-            # registry misses / missing data dirs are user errors, not bugs
+        except (UserError, FileNotFoundError) as e:
+            # registry misses / missing data dirs are user errors, not
+            # bugs; JAX/XLA RuntimeErrors (device/compile failures) keep
+            # their tracebacks.  WSUNET_DEBUG=1 re-raises everything.
+            if os.environ.get("WSUNET_DEBUG") == "1":
+                raise
             raise SystemExit(f"{args.command}: {e}")
 
 
@@ -351,47 +358,90 @@ def _ws_sweep(args, weighted=None, correct_bias=None):
     return res
 
 
+def b0_label(config: dict) -> str:
+    """Detector label derived from the model's OWN training config
+    (parity: the reference's names encode real training conditions,
+    detector/evaluate.py:100-166 — e.g. golden ``ns-r-B0_0.01`` was
+    genuinely trained at alpha 0.01; a mixture-trained model here is
+    labeled ``B0_mix0.1-0.05-0.01``, never a flag value)."""
+    prefix = ("ns-" if config.get("no_stem_stride") else "") + \
+        ("r-" if config.get("lsbr_reference") else "")
+    alpha = config.get("alpha")
+    if isinstance(alpha, (list, tuple)):
+        alpha = "mix" + "-".join(str(a) for a in alpha)
+    return f"{prefix}B0_{alpha}"
+
+
 def _cmd_roc(args):
     import pandas as pd
     from .detect import b0_run, produce_roc
+    from .train.checkpoint import load_config
+    from .utils import UserError
     from .utils.registry import get_model_name
     from .ws import ws_run
+
+    # Resolve the trained U-Nets up front.  "UNet" (golden label) is the
+    # --train-method model, used on every eval method like the reference
+    # sweep (ws/roc.py:367-380, one LSBR-trained UNet).  When
+    # --stego-methods names another method with its own trained model, it
+    # joins as "UNet_<method>" — each variant needs its own cover pass
+    # because produce_roc pairs cover and stego rows by model_name.
+    unet_variants = {}
+    if any(m.upper() == "UNET" for m in args.models):
+        methods = [args.train_method] + [
+            sm for sm in args.stego_methods if sm != args.train_method]
+        for tm in methods:
+            label = "UNet" if tm == args.train_method else f"UNet_{tm}"
+            try:
+                unet_variants[label] = get_model_name(
+                    args.unet_model_dir, tm), args.unet_model_dir / tm
+            except UserError as e:
+                if tm == args.train_method:
+                    print(f"skipping UNet: {e}", file=sys.stderr)
 
     frames = []
     for stego_method in [None] + list(args.stego_methods):
         for alpha in (args.alphas if stego_method else [None]):
             for model in args.models:
-                model_name, model_path = model, None
                 if model.upper() == "UNET":
-                    model_path = args.unet_model_dir / args.train_method
-                    try:
-                        model_name = get_model_name(
-                            args.unet_model_dir, args.train_method)
-                    except RuntimeError as e:
-                        print(f"skipping UNet: {e}", file=sys.stderr)
-                        continue
-                frames.append(ws_run(
-                    input_dir=args.data, stego_method=stego_method,
-                    alpha=alpha, model_name=model_name,
-                    model_path=model_path, weighted=0,
-                    batch_size=args.batch_size,
-                    split=args.split, take_num_images=args.take))
+                    for label, (name, path) in unet_variants.items():
+                        frames.append(ws_run(
+                            input_dir=args.data, stego_method=stego_method,
+                            alpha=alpha, model_name=name, model_path=path,
+                            model_label=label, weighted=0,
+                            batch_size=args.batch_size,
+                            split=args.split, take_num_images=args.take))
+                else:
+                    frames.append(ws_run(
+                        input_dir=args.data, stego_method=stego_method,
+                        alpha=alpha, model_name=model,
+                        model_path=None, weighted=0,
+                        batch_size=args.batch_size,
+                        split=args.split, take_num_images=args.take))
     if args.b0:
         for no_stride, lsbr_ref in [(False, False), (True, True)]:
+            filters = dict(no_stem_stride=no_stride,
+                           lsbr_reference=lsbr_ref)
+            if args.b0_train_alpha is not None:
+                filters["alpha"] = args.b0_train_alpha
             try:
+                name = get_model_name(
+                    args.b0_model_dir, args.train_method, **filters)
                 res = b0_run(
                     args.data, args.b0_model_dir, args.train_method,
+                    model_name=name,
                     no_stem_stride=no_stride, lsbr_reference=lsbr_ref,
                     batch_size=args.batch_size,
                     split=args.split, take_num_images=args.take)
-            except (RuntimeError, FileNotFoundError) as e:
+            except (UserError, FileNotFoundError) as e:
                 print(f"skipping B0 ns={no_stride} r={lsbr_ref}: {e}",
                       file=sys.stderr)
                 continue
-            prefix = ("ns-" if no_stride else "") + ("r-" if lsbr_ref else "")
+            config = load_config(
+                args.b0_model_dir / args.train_method / name)
             res = res[(res["stego_method"].isna()) |
                       (res["alpha"].isin(args.alphas))].copy()
-            res["model_name"] = f"{prefix}B0_{args.b0_train_alpha}"
+            res["model_name"] = b0_label(config)
             res["score"] = res["output"]
             frames.append(res)
 

@@ -55,6 +55,10 @@ def produce_roc(df_ws: pd.DataFrame) -> pd.DataFrame:
         if bins_sum > 0:
             bins = bins / bins_sum
             auc = np.sum(bins * tpr)
+        elif len(np.unique(y > 0)) < 2:
+            # single-class group (e.g. no cover rows selected): both the
+            # reference formula and the rank AUC are undefined
+            auc = float("nan")
         else:
             # The reference formula (ws/roc.py:198-283) is undefined when
             # the FPR never moves across the tau sweep — strictly-greater

@@ -14,6 +14,8 @@ import typing
 
 import pandas as pd
 
+from .errors import UserError
+
 
 def scan_models(
     model_dir: pathlib.Path,
@@ -66,7 +68,7 @@ def get_model_name(
             else:
                 df = df[df[key] == value]
     if len(df) < 1:
-        raise RuntimeError(f"no model for {stego_method=} {filters} found")
+        raise UserError(f"no model for {stego_method=} {filters} found")
     if len(df) > 1:
-        raise RuntimeError(f"multiple models for {stego_method=} {filters} found")
+        raise UserError(f"multiple models for {stego_method=} {filters} found")
     return df["model_name"].iloc[0]

@@ -45,10 +45,13 @@ def _fast_conv_compiles() -> bool:
     if _FAST_CONV_OK is None:
         try:
             from ..ops.pallas_conv import _forward
-            # an eligible shape (C % 128 == 0, cf. pallas_conv._supported)
-            x = jnp.zeros((1, 32, 16, 128), jnp.float32)
-            w = jnp.zeros((3, 3, 128, 8), jnp.float32)
-            jax.block_until_ready(_forward(x, w, jnp.zeros((8,))))
+            # probe the LARGEST f32-eligible unet_2 layer shape (the
+            # decoder 256->128 conv at 256x256): Pallas compiles per
+            # shape, so a VMEM-pressure regression at the real layer
+            # sizes must fail the probe, not the unattended sweep
+            x = jnp.zeros((1, 16, 256, 256), jnp.float32)
+            w = jnp.zeros((3, 3, 256, 128), jnp.float32)
+            jax.block_until_ready(_forward(x, w, jnp.zeros((128,))))
             _FAST_CONV_OK = True
         except Exception as e:  # noqa: BLE001 — any compile failure
             import logging
