@@ -1,0 +1,71 @@
+"""Cross-fold holdout evaluation (detect/holdout.py).
+
+The pooling invariant: scoring a deterministic (weight-free) detector
+per-fold on complementary eval splits and pooling must reproduce the
+full-catalog evaluation exactly — same per-image scores, same pooled
+ROC/AUC.  The fixture folds are covers {6,7,9} vs {8,10}
+(splits/covers_*.csv, built from the reference files.csv catalog).
+"""
+import pathlib
+
+import numpy as np
+import pytest
+
+from wsunet_tpu.detect import Fold, holdout_frames, holdout_roc
+from wsunet_tpu.detect.roc import produce_roc
+
+DATA = pathlib.Path("/root/reference/data")
+REPO = pathlib.Path(__file__).resolve().parents[1]
+SPLITS = REPO / "splits"
+
+FOLDS = [
+    Fold(eval_split=str(SPLITS / "covers_8_10.csv"),
+         unets={"KBfold": (None, "KB")}),
+    Fold(eval_split=str(SPLITS / "covers_6_7_9.csv"),
+         unets={"KBfold": (None, "KB")}),
+]
+
+
+@pytest.fixture(scope="module")
+def frames():
+    return holdout_frames(
+        DATA, FOLDS, filter_models=("KB",), stego_methods=("LSBR",),
+        alphas=(0.1, 0.01), batch_size=4)
+
+
+def test_fold_splits_partition_catalog(frames):
+    pooled = frames[frames.model_name == "KBfold"]
+    full = frames[frames.model_name == "KB"]
+    assert sorted(pooled["name"]) == sorted(full["name"])
+    # fold rows carry their eval-split provenance
+    assert set(pooled["fold"]) == {"fold0", "fold1"}
+    f0 = pooled[pooled.fold == "fold0"]["name"]
+    assert all(("/8." in n) or ("/10." in n) for n in f0)
+
+
+def test_pooled_scores_match_full_catalog(frames):
+    pooled = frames[frames.model_name == "KBfold"].sort_values("name")
+    full = frames[frames.model_name == "KB"].sort_values("name")
+    np.testing.assert_allclose(
+        pooled["beta_hat"].to_numpy(), full["beta_hat"].to_numpy(),
+        rtol=0, atol=0)
+
+
+def test_pooled_roc_matches_full_catalog(frames):
+    roc = produce_roc(frames)
+    auc = roc[["model_name", "auc", "p_e"]].drop_duplicates()
+    a = auc[auc.model_name == "KBfold"].iloc[0]
+    b = auc[auc.model_name == "KB"].iloc[0]
+    assert a["auc"] == b["auc"] and a["p_e"] == b["p_e"]
+
+
+def test_holdout_roc_writes_artifacts(frames, tmp_path):
+    df = holdout_roc(
+        DATA, FOLDS, results_dir=tmp_path, suffix="t",
+        filter_models=("KB",), stego_methods=("LSBR",),
+        alphas=(0.1, 0.01), batch_size=4)
+    out = tmp_path / "detection"
+    assert (out / "auc_0.01_t.csv").exists()
+    assert (out / "roc_0.01_t.csv").exists()
+    assert (out / "scores_t.csv").exists()
+    assert {"stego_method", "model_name", "auc", "p_e"} <= set(df.columns)

@@ -109,6 +109,100 @@ def _bench_ws_fused(iters: int = 50, batch_size: int = 128) -> dict:
     }
 
 
+def _bench_fast_conv_parity() -> dict:
+    """On-TPU numerics of the fused Pallas reflect-conv vs the XLA
+    reference, per eligible unet_2 layer shape (the same standard the
+    fused WS kernel meets via ``ws_fused.parity_by_mode``).  Reported:
+    max |fused - xla| per layer (suffix ``_rel``: normalized by the
+    reference's max magnitude)."""
+    import jax
+    import jax.numpy as jnp
+    from .ops import pallas_conv
+
+    # distinct (H, W, Cin, Cout) of every C%128 unet_2 conv at eval size
+    layers = [
+        (256, 256, 128, 128),   # encoder step-1 second conv
+        (128, 128, 128, 256),   # bottleneck in-conv
+        (128, 128, 256, 256),   # bottleneck second conv
+        (256, 256, 256, 128),   # decoder skip-concat conv
+        (512, 512, 128, 64),    # decoder full-res concat conv (bf16 only)
+    ]
+    rng = np.random.default_rng(3)
+    out = {}
+    for dtype in (jnp.bfloat16, jnp.float32):
+        for (H, W, Cin, Cout) in layers:
+            x = jnp.asarray(rng.random((1, H, W, Cin), np.float32), dtype)
+            w = jnp.asarray(
+                rng.normal(0, 0.05, (3, 3, Cin, Cout)), np.float32
+            ).astype(dtype)
+            b = jnp.asarray(rng.normal(0, 0.1, (Cout,)), np.float32
+                            ).astype(dtype)
+            name = f"{jnp.dtype(dtype).name}_{H}x{W}x{Cin}to{Cout}"
+            if not pallas_conv._supported(x, w):
+                out[name] = "ineligible"
+                continue
+            try:
+                fused = np.asarray(
+                    pallas_conv._forward(x, w, b, relu=True), np.float32)
+                ref = np.asarray(
+                    pallas_conv._reference(x, w, b, relu=True), np.float32)
+                diff = float(np.max(np.abs(fused - ref)))
+                out[name] = round(diff, 9)
+                out[name + "_rel"] = round(
+                    diff / max(float(np.max(np.abs(ref))), 1e-9), 9)
+            except Exception as e:  # record, never break the headline
+                out[name] = f"error: {type(e).__name__}: {str(e)[:120]}"
+    return out
+
+
+def _bench_e2e_decode(model, variables, batch_size: int = 32,
+                      repeats: int = 4) -> dict:
+    """PNG-on-disk -> beta_hat throughput including host decode (the
+    boundary the headline metric deliberately excludes), native C++
+    loader vs the PIL thread fallback.  Uses the full fixture catalog
+    with the decode cache OFF so every image is really decoded."""
+    import jax
+    import jax.numpy as jnp
+    import pandas as pd
+    from .data import iterate_batches, pipeline
+    from .data.catalog import collect_files
+    from .ops import ws_estimate_unet
+    from .ws.unet_eval import infer_unet
+
+    root = pathlib.Path("/root/reference/data")
+    if not root.exists():
+        return {"error": "fixture dataset unavailable"}
+    df = collect_files(root, ["images*", "stego*"])
+    df = pd.concat([df] * repeats).reset_index(drop=True)
+
+    @jax.jit
+    def step(pixels_u8):
+        x = pixels_u8.astype(jnp.float32)
+        return ws_estimate_unet(x, infer_unet(model, variables, x))
+
+    # compile outside the timed region
+    jax.block_until_ready(step(jnp.zeros(
+        (batch_size, 512, 512), jnp.uint8)))
+
+    out = {"images": len(df)}
+    try:
+        for label, use_native in (("native", True), ("pil", False)):
+            pipeline.force_native(use_native)
+            if use_native:
+                out["native_available"] = pipeline._get_native() is not None
+            t0 = time.perf_counter()
+            done = []
+            for batch in iterate_batches(root, df, batch_size,
+                                         prefetch=2, cache=False):
+                done.append(step(jnp.asarray(batch.pixels)))
+            jax.block_until_ready(done)
+            out[f"{label}_images_per_sec"] = round(
+                len(df) / (time.perf_counter() - t0), 1)
+    finally:
+        pipeline.force_native(None)
+    return out
+
+
 def run_bench(dtype: str = "bfloat16", iters: int = 20,
               batch_size: int = 128, warmup: int = 3) -> dict:
     import jax
@@ -206,6 +300,14 @@ def run_bench(dtype: str = "bfloat16", iters: int = 20,
             out["ws_fused"] = _bench_ws_fused(batch_size=batch_size)
         except Exception as e:  # fused kernel must not break the headline
             out["ws_fused"] = {"error": f"{type(e).__name__}: {e}"}
+        try:
+            out["fast_conv_parity"] = _bench_fast_conv_parity()
+        except Exception as e:
+            out["fast_conv_parity"] = {"error": f"{type(e).__name__}: {e}"}
+        try:
+            out["e2e_decode"] = _bench_e2e_decode(model, variables)
+        except Exception as e:
+            out["e2e_decode"] = {"error": f"{type(e).__name__}: {e}"}
     return out
 
 

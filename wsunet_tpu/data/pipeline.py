@@ -98,6 +98,18 @@ def _get_native():
     return _NATIVE
 
 
+def force_native(enabled):
+    """Bench/test hook pinning the decode backend: ``False`` forces the
+    PIL thread fallback, ``True`` re-probes the C++ loader, ``None``
+    restores auto-detection."""
+    global _NATIVE, _NATIVE_TRIED
+    _NATIVE, _NATIVE_TRIED = None, False
+    if enabled is False:
+        _NATIVE_TRIED = True
+    elif enabled is True:
+        _get_native()
+
+
 def load_images(
     root: pathlib.Path,
     names: typing.Sequence[str],

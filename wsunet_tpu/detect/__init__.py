@@ -1,9 +1,13 @@
 from .roc import produce_roc
 from .b0_eval import infer_b0, get_b0_detector, load_pretrained_b0, run as b0_run
+from .holdout import Fold, holdout_frames, holdout_roc
 from . import metrics
 
 __all__ = [
     "produce_roc",
+    "Fold",
+    "holdout_frames",
+    "holdout_roc",
     "infer_b0",
     "get_b0_detector",
     "load_pretrained_b0",
