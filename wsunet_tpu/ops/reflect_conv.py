@@ -71,8 +71,14 @@ def conv3x3_reflect_borderfix(x, w, b, relu=False,
     left = col_corr(x[:, :, 1], w[:, 0])
     right = col_corr(x[:, :, W - 2], w[:, 2])
 
-    out = out.at[:, 0].add(top)
-    out = out.at[:, H - 1].add(bottom)
-    out = out.at[:, :, 0].add(left)
-    out = out.at[:, :, W - 1].add(right)
+    # apply all four border corrections as ONE fused elementwise add of
+    # zero-padded strips: dynamic-update-slice chains (`.at[].add`) do
+    # not fuse on TPU — each costs a full-tensor copy, ~4 extra HBM
+    # round trips per conv.  Zero pads fuse into the add epilogue.
+    corr = (
+        jnp.pad(top[:, None], ((0, 0), (0, H - 1), (0, 0), (0, 0))) +
+        jnp.pad(bottom[:, None], ((0, 0), (H - 1, 0), (0, 0), (0, 0))) +
+        jnp.pad(left[:, :, None], ((0, 0), (0, 0), (0, W - 1), (0, 0))) +
+        jnp.pad(right[:, :, None], ((0, 0), (0, 0), (W - 1, 0), (0, 0))))
+    out = out + corr
     return jnp.maximum(out, 0.0).astype(out.dtype) if relu else out
