@@ -62,6 +62,17 @@ def main():
         except Exception as e:  # keep going; report at the end
             print(f"FAILED: {type(e).__name__}: {e}", flush=True)
             failures.append((argv[0], str(e)))
+
+    # leak-free holdout tables (train/eval cover-disjoint protocol) —
+    # needs the fold-B zoo (models_foldb/); skipped when absent
+    if (REPO / "models_foldb").exists():
+        print("\n$ python scripts/round3_holdout.py", flush=True)
+        try:
+            from scripts.round3_holdout import main as holdout_main
+            holdout_main()
+        except Exception as e:
+            print(f"FAILED: {type(e).__name__}: {e}", flush=True)
+            failures.append(("holdout", str(e)))
     print("\n=== done;", len(failures), "failures ===")
     for name, err in failures:
         print(" -", name, err)

@@ -369,7 +369,9 @@ def b0_label(config: dict) -> str:
     alpha = config.get("alpha")
     if isinstance(alpha, (list, tuple)):
         alpha = "mix" + "-".join(str(a) for a in alpha)
-    return f"{prefix}B0_{alpha}"
+    method = config.get("stego_method", "LSBR")
+    infix = "" if method == "LSBR" else f"-{method}"
+    return f"{prefix}B0{infix}_{alpha}"
 
 
 def _cmd_roc(args):
