@@ -16,7 +16,7 @@ def main():
     keys = ["metric", "value", "unit", "vs_baseline", "mfu",
             "flops_per_image", "tflops_per_sec", "fast_conv",
             "fast_conv_error", "ws_fused", "fast_conv_parity",
-            "e2e_decode"]
+            "e2e_decode", "latency_ms_b1"]
     print(json.dumps({k: out[k] for k in keys if k in out}))
 
 

@@ -295,6 +295,20 @@ def run_bench(dtype: str = "bfloat16", iters: int = 20,
         out["fast_conv_error"] = fast_conv_error
     if peak:
         out["mfu"] = round(flops_per_exec * iters / dt / peak, 4)
+    # single-image serving latency (batch 1, blocking each dispatch).
+    # NOTE: includes the host->device dispatch round trip, which over the
+    # tunneled axon transport dominates — treat as an upper bound.
+    try:
+        one = jax.device_put(pixels[:1])
+        jax.block_until_ready(step(one))
+        lat = []
+        for _ in range(30):
+            t1 = time.perf_counter()
+            jax.block_until_ready(step(one))
+            lat.append(time.perf_counter() - t1)
+        out["latency_ms_b1"] = round(1e3 * float(np.median(lat)), 2)
+    except Exception:
+        pass
     if device.platform == "tpu":
         try:
             out["ws_fused"] = _bench_ws_fused(batch_size=batch_size)
