@@ -13,6 +13,17 @@ UNet conv encoder-decoder runs as fused Pallas kernels".
 
 Backward: a custom VJP delegates to the XLA reference implementation, so
 `jax.grad` through the fast path (saliency, training) works and matches.
+
+Status (round 3): the kernel is parity-correct on hardware but ships
+opt-in (WSUNET_FAST_CONV=1) — the shipping throughput path is the pure-
+XLA border-corrected SAME conv (ops/reflect_conv.py), measured at 700.5
+img/s = 97.6% of the pad-free ceiling (results/perf_traces/ANALYSIS.md),
+which leaves no meaningful headroom for a fused conv.  A double-buffered
+variant of this kernel (halo DMA of tile g+1 overlapping tile g's
+contractions; see commit 175d735) lowered correctly in interpret mode
+but could not be compile-iterated on the tunneled remote-compile
+transport (>10 min per shape, HTTP 500 on the full model), so the
+proven single-buffer form is retained.
 """
 
 import functools
@@ -26,7 +37,52 @@ _TH = 8  # rows per tile; divides every UNet layer height (128/256/512).
 # 8 (not 16) keeps the f32 roll temporaries inside VMEM at W=512.
 
 
-def _compute_tile(buf, w_ref, b_ref, out_ref, *, TH, W, C, relu):
+def _kernel(x_hbm, w_ref, b_ref, out_ref, x_vmem, sem, *, H, W, C, TH,
+            relu):
+    # x_hbm is the batch flattened to rows, [B*H, W, C]: every DMA slices
+    # only the untiled leading row dimension (dynamic start, static size)
+    # with the tiled (W, C) dims copied whole.  Mosaic constraints that
+    # shaped this design (all reproduced on v5e):
+    #   - `.at[]` with explicit trailing `:` slices mis-lowers the LAST
+    #     dim to size 1 ("Slice shape along dimension N must be aligned
+    #     to tiling (128), but is 1") — leading-dim-only `.at[pl.ds(...)]`
+    #     is the working spelling;
+    #   - a W-padded VMEM destination (`x_vmem[:, 1:W+1, :]`) puts an
+    #     offset-1 slice on the SUBLANE dim — unaligned.
+    # So the scratch is unpadded in W and the reflect boundary is applied
+    # at matmul time with sublane rolls + iota selects (vector ops only).
+    bi = pl.program_id(0)
+    ti = pl.program_id(1)
+    n_t = pl.num_programs(1)
+
+    r0 = bi * H + ti * TH  # first (unpadded) row of this tile
+
+    # --- halo DMA: rows clamped within the image; edge tiles copy one row
+    # less and fill the missing reflect row from VMEM (row -1 == row 1,
+    # row H == row H-2).  All slice sizes are static.
+    @pl.when(jnp.logical_and(ti > 0, ti < n_t - 1))
+    def _interior():
+        dma = pltpu.make_async_copy(
+            x_hbm.at[pl.ds(r0 - 1, TH + 2)], x_vmem, sem)
+        dma.start()
+        dma.wait()
+
+    @pl.when(ti == 0)
+    def _first():
+        dma = pltpu.make_async_copy(
+            x_hbm.at[pl.ds(r0, TH + 1)], x_vmem.at[1:TH + 2], sem)
+        dma.start()
+        dma.wait()
+        x_vmem[0] = x_vmem[2]
+
+    @pl.when(jnp.logical_and(ti == n_t - 1, n_t > 1))
+    def _last():
+        dma = pltpu.make_async_copy(
+            x_hbm.at[pl.ds(r0 - 1, TH + 1)], x_vmem.at[0:TH + 1], sem)
+        dma.start()
+        dma.wait()
+        x_vmem[TH + 1] = x_vmem[TH - 1]
+
     # --- nine shifted MXU contractions, f32 accumulation.  Column shifts
     # are rolls along the sublane (W) dim; the reflect boundary replaces
     # the wrapped column via an iota select of the opposite roll:
@@ -39,12 +95,12 @@ def _compute_tile(buf, w_ref, b_ref, out_ref, *, TH, W, C, relu):
     # the native single-pass MXU path.  f32 inputs pin HIGHEST (otherwise
     # the MXU's bf16 passes cost ~1e-2 relative error vs the XLA
     # reference the golden suite compares against).
-    hi_prec = buf.dtype == jnp.float32
+    hi_prec = x_vmem.dtype == jnp.float32
     prec = (jax.lax.Precision.HIGHEST if hi_prec
             else jax.lax.Precision.DEFAULT)
     acc = jnp.zeros((TH * W, w_ref.shape[-1]), jnp.float32)
     for di in range(3):
-        rows = buf[di:di + TH].astype(jnp.float32)
+        rows = x_vmem[di:di + TH].astype(jnp.float32)
         r_plus = pltpu.roll(rows, 1, axis=1)
         r_minus = pltpu.roll(rows, W - 1, axis=1)  # pltpu.roll: shift >= 0
         shifted = (
@@ -65,119 +121,27 @@ def _compute_tile(buf, w_ref, b_ref, out_ref, *, TH, W, C, relu):
     out_ref[...] = acc.reshape(TH, W, w_ref.shape[-1]).astype(out_ref.dtype)
 
 
-def _kernel(x_hbm, w_ref, b_ref, out_ref, buf0, buf1, sem0, sem1, *,
-            H, W, C, TH, relu, n_t, total):
-    # x_hbm is the batch flattened to rows, [B*H, W, C]: every DMA slices
-    # only the untiled leading row dimension (dynamic start, static size)
-    # with the tiled (W, C) dims copied whole.  Mosaic constraints that
-    # shaped this design (all reproduced on v5e):
-    #   - `.at[]` with explicit trailing `:` slices mis-lowers the LAST
-    #     dim to size 1 ("Slice shape along dimension N must be aligned
-    #     to tiling (128), but is 1") — leading-dim-only `.at[pl.ds(...)]`
-    #     is the working spelling;
-    #   - a W-padded VMEM destination (`x_vmem[:, 1:W+1, :]`) puts an
-    #     offset-1 slice on the SUBLANE dim — unaligned.
-    # So the scratch is unpadded in W and the reflect boundary is applied
-    # at matmul time with sublane rolls + iota selects (vector ops only).
-    #
-    # DOUBLE BUFFERING: grid iterations run sequentially on the core and
-    # scratch persists across them, so iteration g prefetches tile g+1
-    # into the other (buffer, semaphore) slot before waiting on its own
-    # tile's copy — the halo DMA of the next tile overlaps this tile's
-    # nine contractions instead of serializing with them.
-    g = pl.program_id(0)
-
-    def dma(buf, sem, tg, start):
-        # tile tg's halo copy: rows clamped within the image; edge tiles
-        # copy one row less (the missing reflect row is filled from VMEM
-        # after the wait: row -1 == row 1, row H == row H-2).  All slice
-        # sizes are static; wait() reconstructs the matching descriptor.
-        bi = tg // n_t
-        ti = tg % n_t
-        r0 = bi * H + ti * TH
-
-        def go(src, dst):
-            d = pltpu.make_async_copy(src, dst, sem)
-            if start:
-                d.start()
-            else:
-                d.wait()
-
-        @pl.when(jnp.logical_and(ti > 0, ti < n_t - 1))
-        def _interior():
-            go(x_hbm.at[pl.ds(r0 - 1, TH + 2)], buf)
-
-        @pl.when(ti == 0)
-        def _first():
-            go(x_hbm.at[pl.ds(r0, TH + 1)], buf.at[1:TH + 2])
-
-        @pl.when(ti == n_t - 1)
-        def _last():
-            go(x_hbm.at[pl.ds(r0 - 1, TH + 1)], buf.at[0:TH + 1])
-
-    @pl.when(g == 0)
-    def _prologue():
-        dma(buf0, sem0, g, start=True)
-
-    @pl.when(g + 1 < total)
-    def _prefetch():
-        @pl.when((g + 1) % 2 == 0)
-        def _():
-            dma(buf0, sem0, g + 1, start=True)
-
-        @pl.when((g + 1) % 2 == 1)
-        def _():
-            dma(buf1, sem1, g + 1, start=True)
-
-    def finish(buf, sem):
-        dma(buf, sem, g, start=False)
-        ti = g % n_t
-
-        @pl.when(ti == 0)
-        def _top_reflect():
-            buf[0] = buf[2]
-
-        @pl.when(ti == n_t - 1)
-        def _bottom_reflect():
-            buf[TH + 1] = buf[TH - 1]
-
-        _compute_tile(buf, w_ref, b_ref, out_ref, TH=TH, W=W, C=C,
-                      relu=relu)
-
-    @pl.when(g % 2 == 0)
-    def _even():
-        finish(buf0, sem0)
-
-    @pl.when(g % 2 == 1)
-    def _odd():
-        finish(buf1, sem1)
-
-
 def _forward(x, w, b, relu=False, interpret=False):
     B, H, W, C = x.shape
     Cout = w.shape[-1]
     TH = _TH
     n_t = H // TH
-    total = B * n_t
-    kern = functools.partial(_kernel, H=H, W=W, C=C, TH=TH, relu=relu,
-                             n_t=n_t, total=total)
+    kern = functools.partial(_kernel, H=H, W=W, C=C, TH=TH, relu=relu)
     out = pl.pallas_call(
         kern,
         interpret=interpret,
-        grid=(total,),
+        grid=(B, n_t),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),      # x stays in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),  # full kernel
             pl.BlockSpec(memory_space=pltpu.VMEM),  # bias [1, Cout]
         ],
         out_specs=pl.BlockSpec(
-            (TH, W, Cout), lambda g: (g, 0, 0),
+            (TH, W, Cout), lambda bi, ti: (bi * n_t + ti, 0, 0),
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B * H, W, Cout), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((TH + 2, W, C), x.dtype),
-            pltpu.VMEM((TH + 2, W, C), x.dtype),
-            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
     )(x.reshape(B * H, W, C), w, b.reshape(1, Cout))
