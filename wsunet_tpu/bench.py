@@ -119,17 +119,20 @@ def _bench_fast_conv_parity() -> dict:
     import jax.numpy as jnp
     from .ops import pallas_conv
 
-    # distinct (H, W, Cin, Cout) of every C%128 unet_2 conv at eval size
-    layers = [
-        (256, 256, 128, 128),   # encoder step-1 second conv
-        (128, 128, 128, 256),   # bottleneck in-conv
-        (128, 128, 256, 256),   # bottleneck second conv
-        (256, 256, 256, 128),   # decoder skip-concat conv
-        (512, 512, 128, 64),    # decoder full-res concat conv (bf16 only)
-    ]
+    # Two eligible unet_2 layer shapes per dtype — the largest (VMEM-
+    # critical) and a mid-size one.  Mosaic remote compiles cost minutes
+    # per shape on the tunneled transport, so the full per-layer sweep
+    # lives in tests/test_tpu_pallas_parity.py; bench records the
+    # representative artifact every round.
+    layers_by_dtype = {
+        jnp.bfloat16: [(512, 512, 128, 64),    # decoder full-res concat
+                       (256, 256, 256, 128)],  # decoder skip-concat
+        jnp.float32: [(256, 256, 256, 128),    # largest f32-eligible
+                      (128, 128, 256, 256)],   # bottleneck second conv
+    }
     rng = np.random.default_rng(3)
     out = {}
-    for dtype in (jnp.bfloat16, jnp.float32):
+    for dtype, layers in layers_by_dtype.items():
         for (H, W, Cin, Cout) in layers:
             x = jnp.asarray(rng.random((1, H, W, Cin), np.float32), dtype)
             w = jnp.asarray(
