@@ -151,6 +151,19 @@ def stage_unet_lsbr_foldb():
     print(f"STAGE-DONE unet-lsbr-foldb: {exp}", flush=True)
 
 
+def stage_unet_lsbr_foldb_dr():
+    """Fold-B l1ws UNet with KB-substitution dropout.  The plain fold-B
+    model (stage 0) carries a 0.05 WS bias on held-out cover 7 — with
+    only two training covers the predictor overfits their textures.
+    UniformDropout replaces random pixels with their KB prediction during
+    training, regularizing toward the filter predictor on unfamiliar
+    content (the round-2 dropout-UNet evidence).  Decision pre-committed
+    on that evidence BEFORE evaluating this model's holdout scores, so
+    model choice is not fitted to the eval covers."""
+    exp = _train_unet({**L1WS, **FOLD_B, "drop_rate": 0.1})
+    print(f"STAGE-DONE unet-lsbr-foldb-dr: {exp}", flush=True)
+
+
 def stage_nsr_foldb():
     b0_curriculum(FOLD_B, NSR, "nsr-foldb")
 
@@ -182,9 +195,13 @@ def stage_hillr_b0_foldb():
     hillr_finetune(FOLD_B, "hillr-b0-foldb")
 
 
-STAGES = [stage_unet_lsbr_foldb, stage_nsr_foldb, stage_nsr_folda,
-          stage_plain_folda, stage_hillr_b0_folda, stage_unet_hillr_foldb,
-          stage_plain_foldb, stage_hillr_b0_foldb]
+# Priority order after the stage-0 holdout diagnosis (see
+# stage_unet_lsbr_foldb_dr).  The fold-A nsr retrain moved to the back:
+# its holdout row comes from the fold-B model alone (covers {6,7,9},
+# fully leak-free) when the clock runs out before stage 5.
+STAGES = [stage_unet_lsbr_foldb, stage_unet_lsbr_foldb_dr,
+          stage_nsr_foldb, stage_plain_folda, stage_hillr_b0_foldb,
+          stage_nsr_folda, stage_unet_hillr_foldb, stage_plain_foldb]
 
 if __name__ == "__main__":
     start = int(sys.argv[1]) if len(sys.argv) > 1 else 0
