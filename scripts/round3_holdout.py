@@ -42,6 +42,15 @@ def _b0_entries(b0_root):
         for _, row in df.iterrows():
             with open(mdir / row["model_name"] / "config.json") as f:
                 cfg = json.load(f)
+            # Cleanliness guard: checkpoint selection is part of training,
+            # so only end-of-schedule ("last") checkpoints qualify — the
+            # round-2 B0s were selected by val P_E on cover 8, a fold-A
+            # EVAL cover, and must stay out of the holdout pool until
+            # their fold is retrained (round3_chain stages 2/3/5).
+            if cfg.get("select_metric") != "last":
+                print(f"holdout: exclude {mdir.name}/{row['model_name']}"
+                      " (checkpoint selection not leak-free)")
+                continue
             out[b0_label(cfg)] = dict(
                 model_dir=base, stego_method=mdir.name,
                 model_name=row["model_name"],
