@@ -69,3 +69,27 @@ def test_holdout_roc_writes_artifacts(frames, tmp_path):
     assert (out / "roc_0.01_t.csv").exists()
     assert (out / "scores_t.csv").exists()
     assert {"stego_method", "model_name", "auc", "p_e"} <= set(df.columns)
+
+
+def test_b0_entry_scan_excludes_non_last_selection(tmp_path):
+    """round3_holdout._b0_entries only admits end-of-schedule ("last")
+    checkpoints: selection by a validation metric is part of training,
+    and the round-2 B0s validated on a fold-A EVAL cover."""
+    import json
+    import sys
+    sys.path.insert(0, str(REPO))
+    from scripts.round3_holdout import _b0_entries
+
+    base = tmp_path / "b0" / "LSBR"
+    for name, select in [("100000000000-clean", "last"),
+                         ("100000000001-leaky", "p_e"),
+                         ("100000000002-legacy", None)]:
+        d = base / name
+        (d / "model" / "best").mkdir(parents=True)
+        cfg = {"stego_method": "LSBR", "alpha": [0.1], "select_metric":
+               select, "no_stem_stride": name.endswith("clean")}
+        (d / "config.json").write_text(json.dumps(cfg))
+    entries = _b0_entries(tmp_path)
+    assert len(entries) == 1
+    (label, spec), = entries.items()
+    assert spec["model_name"] == "100000000000-clean"
