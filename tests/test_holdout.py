@@ -93,3 +93,26 @@ def test_b0_entry_scan_excludes_non_last_selection(tmp_path):
     assert len(entries) == 1
     (label, spec), = entries.items()
     assert spec["model_name"] == "100000000000-clean"
+
+
+def test_finish_stage_done_parses_markers():
+    """round3_finish reads STAGE-DONE markers (names or paths) and maps
+    them to basenames for the swap step."""
+    import sys
+    sys.path.insert(0, str(REPO))
+    from scripts.round3_finish import SWAPS, stage_done
+
+    log = "\n".join([
+        "=== stage 1: stage_unet_lsbr_foldb_dr ===",
+        "STAGE-DONE unet-lsbr-foldb-dr: /abs/models_r3/unet/LSBR/2608-dr",
+        "noise line",
+        "STAGE-DONE nsr-foldb-s1: 2608-s1",
+        "STAGE-DONE nsr-foldb-final: 2608-final",
+    ])
+    done = stage_done(log)
+    assert done["unet-lsbr-foldb-dr"] == "2608-dr"
+    assert done["nsr-foldb-final"] == "2608-final"
+    # every swap tag the finisher acts on is a tag the chain can emit
+    assert {t for t, *_ in SWAPS} <= {
+        "unet-lsbr-foldb-dr", "nsr-foldb-final", "plain-folda-final",
+        "hillr-b0-foldb-final"}
