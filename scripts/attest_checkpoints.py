@@ -1,0 +1,101 @@
+"""Attest that a committed run's checkpoint selection was leak-free.
+
+ADVICE r3 (medium): the committed fold-A U-Nets (models/unet/{LSBR,HILLR})
+carry ``select_metric="ws"`` with va_csv = split_va.csv = cover 8 — a
+fold-A EVAL cover — and the slimmed zoo keeps only model/best, so the
+"best == latest" cleanliness claim (round-3 memory) was unverifiable from
+the committed tree.  The holdout protocol (wsunet_tpu/detect/holdout.py,
+docs/EVAL_PROTOCOL.md) treats checkpoint selection as part of training,
+so these runs may enter the leak-free table only with machine-checked
+evidence that the served checkpoint is the end-of-schedule one.
+
+This script produces that evidence: for each committed run it locates the
+full staging experiment (models_r2/ or models_r3/, which keep both
+model/best and model/latest), md5-hashes both checkpoint trees, verifies
+``patience >= num_epochs`` (early stopping could never have gated on the
+val cover), and writes a ``checkpoint_attestation`` block into the
+committed config.json:
+
+    {"best_is_latest": true, "best_md5": ..., "latest_md5": ...,
+     "patience_covers_schedule": true, "staging_dir": ...,
+     "attested_by": "scripts/attest_checkpoints.py"}
+
+Consumers (scripts/round4_holdout.py _unet_entries) admit a run iff
+``select_metric == "last"`` OR the attestation block proves both facts.
+"""
+import hashlib
+import json
+import pathlib
+import sys
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+STAGING_ROOTS = [REPO / "models_r2", REPO / "models_r3"]
+
+
+def tree_md5(root: pathlib.Path) -> str:
+    h = hashlib.md5()
+    for f in sorted(root.rglob("*")):
+        if f.is_file():
+            h.update(str(f.relative_to(root)).encode())
+            h.update(f.read_bytes())
+    return h.hexdigest()
+
+
+def attest(exp: pathlib.Path) -> bool:
+    """Attest one committed experiment dir; returns True on success."""
+    cfg_path = exp / "config.json"
+    cfg = json.loads(cfg_path.read_text())
+    family = "unet" if cfg.get("network", "").startswith("unet") else "b0"
+    method = exp.parent.name
+    staging = None
+    for root in STAGING_ROOTS:
+        cand = root / family / method / exp.name
+        if (cand / "model" / "latest").exists():
+            staging = cand
+            break
+    if staging is None:
+        print(f"NO STAGING TREE for {exp} — cannot attest")
+        return False
+    best_md5 = tree_md5(staging / "model" / "best")
+    latest_md5 = tree_md5(staging / "model" / "latest")
+    patience_ok = int(cfg.get("patience", 0)) >= int(cfg["num_epochs"])
+    att = {
+        "best_is_latest": best_md5 == latest_md5,
+        "best_md5": best_md5,
+        "latest_md5": latest_md5,
+        "patience_covers_schedule": patience_ok,
+        "staging_dir": str(staging.relative_to(REPO)),
+        "attested_by": "scripts/attest_checkpoints.py",
+    }
+    cfg["checkpoint_attestation"] = att
+    cfg_path.write_text(json.dumps(cfg, indent=4) + "\n")
+    ok = att["best_is_latest"] and patience_ok
+    print(f"{'ATTESTED' if ok else 'FAILED'} {exp}: best==latest="
+          f"{att['best_is_latest']} patience_ok={patience_ok}")
+    return ok
+
+
+def is_leak_free(cfg: dict) -> bool:
+    """The admission rule shared by holdout consumers: end-of-schedule
+    selection, either declared (select_metric='last') or attested."""
+    if cfg.get("select_metric") == "last":
+        return True
+    att = cfg.get("checkpoint_attestation", {})
+    return bool(att.get("best_is_latest")
+                and att.get("patience_covers_schedule"))
+
+
+def main(patterns):
+    ok = True
+    for pat in patterns:
+        for cfg_path in sorted(REPO.glob(pat)):
+            ok &= attest(cfg_path.parent)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    pats = sys.argv[1:] or ["models/unet/*/*/config.json",
+                            "models_foldb/unet/*/*/config.json"]
+    raise SystemExit(main(pats))

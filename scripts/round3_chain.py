@@ -19,16 +19,19 @@ fold.  The committed round-2 ns-r-B0 chain selected checkpoints by val
 P_E on cover 8, which is a fold-A *eval* cover; its fold-A model is
 therefore rebuilt from scratch with val moved to cover 6.
 
-Stages (priority order; each prints STAGE-DONE so the chain is
-resumable with ``python scripts/round3_chain.py <start_stage>``):
-  0 unet-lsbr-foldb   l1ws UNet, covers {8,10}
-  1 nsr-foldb         ns-r-B0 full curriculum, covers {8,10}
-  2 nsr-folda         ns-r-B0 full curriculum, covers {6,7,9}, clean val
-  3 plain-folda       plain grayscale B0 (parity_features recipe)
-  4 hillr-b0-folda    HILLR fine-tune of the fold-A nsr detector
-  5 unet-hillr-foldb  l1ws HILLR UNet, covers {8,10}
-  6 plain-foldb       plain B0, covers {8,10}
-  7 hillr-b0-foldb    HILLR fine-tune of the fold-B nsr detector
+Stages (STAGES order — kept in sync with the list at the bottom because
+the chain resumes by numeric index, ADVICE r3; each stage prints
+STAGE-DONE so ``python scripts/round3_chain.py <start_stage>`` resumes):
+  0 unet-lsbr-foldb     l1ws UNet, covers {8,10}
+  1 unet-lsbr-foldb-dr  same + KB-substitution dropout (the swapped one)
+  2 nsr-foldb           ns-r-B0 full curriculum, covers {8,10}
+  3 plain-folda         plain grayscale B0 (parity_features recipe)
+  4 hillr-b0-foldb      HILLR fine-tune of the fold-B nsr detector
+  5 nsr-folda           ns-r-B0 full curriculum, covers {6,7,9}, clean val
+  6 unet-hillr-foldb    l1ws HILLR UNet, covers {8,10}
+  7 plain-foldb         plain B0, covers {8,10}
+(hillr-b0-folda ran in round 4 instead: scripts/round4_chain.py, which
+also finished stages 4-7 after round 3 ended mid-stage-4.)
 
 B0 curriculum per fold (the proven round-2 recipe, scripts/round2_*):
 scratch s1 (rate mix .4/.2/.1, 40 ep) -> s2 (mix .1/.05/.01, 50 ep) ->

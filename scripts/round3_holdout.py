@@ -29,6 +29,7 @@ FOLD_ROOTS = [
 
 def _b0_entries(b0_root):
     """label -> spec for every trained B0 under <root>/b0/<method>."""
+    from scripts.attest_checkpoints import is_leak_free
     from wsunet_tpu.cli import b0_label
     from wsunet_tpu.utils.registry import scan_models
     out = {}
@@ -43,15 +44,23 @@ def _b0_entries(b0_root):
             with open(mdir / row["model_name"] / "config.json") as f:
                 cfg = json.load(f)
             # Cleanliness guard: checkpoint selection is part of training,
-            # so only end-of-schedule ("last") checkpoints qualify — the
+            # so only end-of-schedule checkpoints qualify (declared via
+            # select_metric="last" or md5-attested best==latest) — the
             # round-2 B0s were selected by val P_E on cover 8, a fold-A
             # EVAL cover, and must stay out of the holdout pool until
-            # their fold is retrained (round3_chain stages 2/3/5).
-            if cfg.get("select_metric") != "last":
+            # their fold is retrained (round3/round4 chains).
+            if not is_leak_free(cfg):
                 print(f"holdout: exclude {mdir.name}/{row['model_name']}"
                       " (checkpoint selection not leak-free)")
                 continue
-            out[b0_label(cfg)] = dict(
+            label = b0_label(cfg)
+            if label in out:
+                # two qualifying runs with identical training configs
+                # would silently shadow each other (ADVICE r3)
+                raise RuntimeError(
+                    f"duplicate holdout label {label!r}: "
+                    f"{out[label]['model_name']} vs {row['model_name']}")
+            out[label] = dict(
                 model_dir=base, stego_method=mdir.name,
                 model_name=row["model_name"],
                 lsbr_reference=bool(cfg.get("lsbr_reference", False)))
@@ -60,7 +69,14 @@ def _b0_entries(b0_root):
 
 def _unet_entries(unet_root):
     """label -> (method_dir, run_name) for trained U-Nets (LSBR ->
-    golden label "UNet"; other methods -> "UNet_<method>")."""
+    golden label "UNet"; other methods -> "UNet_<method>").  Same
+    cleanliness rule as _b0_entries (ADVICE r3 medium): a run enters the
+    leak-free pool only with end-of-schedule checkpoint selection —
+    declared (select_metric="last") or machine-attested
+    (scripts/attest_checkpoints.py best==latest + patience covers the
+    schedule); the committed fold-A runs predate select_metric="last"
+    and carry the attestation block instead."""
+    from scripts.attest_checkpoints import is_leak_free
     from wsunet_tpu.utils.registry import scan_models
     out = {}
     base = unet_root / "unet"
@@ -68,11 +84,19 @@ def _unet_entries(unet_root):
         return out
     for method in ("LSBR", "HILLR"):
         df = scan_models(base, method)
-        if not len(df):
+        clean = []
+        for name in sorted(df["model_name"]) if len(df) else []:
+            with open(base / method / name / "config.json") as f:
+                cfg = json.load(f)
+            if is_leak_free(cfg):
+                clean.append(name)
+            else:
+                print(f"holdout: exclude unet {method}/{name}"
+                      " (checkpoint selection not leak-free)")
+        if not clean:
             continue
-        name = sorted(df["model_name"])[-1]
         label = "UNet" if method == "LSBR" else f"UNet_{method}"
-        out[label] = (base / method, name)
+        out[label] = (base / method, clean[-1])
     return out
 
 

@@ -398,8 +398,10 @@ def _cmd_roc(args):
                 unet_variants[label] = get_model_name(
                     args.unet_model_dir, tm), args.unet_model_dir / tm
             except UserError as e:
-                if tm == args.train_method:
-                    print(f"skipping UNet: {e}", file=sys.stderr)
+                # notify on EVERY miss (ADVICE r3): a silent registry
+                # miss for e.g. the HILLR-trained UNet would just drop
+                # its rows from the committed auc/roc artifacts
+                print(f"skipping {label}: {e}", file=sys.stderr)
 
     frames = []
     for stego_method in [None] + list(args.stego_methods):

@@ -90,6 +90,9 @@ def holdout_frames(
             res = b0_run(
                 data_path, spec["model_dir"],
                 spec.get("stego_method", "LSBR"),
+                # keep B0 coverage symmetric with the WS sweeps when a
+                # caller narrows stego_methods (ADVICE r3)
+                eval_methods=stego_methods,
                 model_name=spec["model_name"],
                 lsbr_reference=spec.get("lsbr_reference", False),
                 batch_size=batch_size, split=fold.eval_split)
