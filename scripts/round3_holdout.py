@@ -20,10 +20,14 @@ sys.path.insert(0, str(REPO))
 DATA = pathlib.Path("/root/reference/data")
 SPLITS = REPO / "splits"
 
-# eval split per fold = the covers the fold's models never trained on
+# (zoo, eval split, train split) per fold; eval split = the covers the
+# fold's models never trained on.  The train split feeds eval-time-fitted
+# detectors (OLS) so their taps stay inside the fold (VERDICT r3 item 4).
 FOLD_ROOTS = [
-    (REPO / "models", str(SPLITS / "covers_8_10.csv")),       # fold A
-    (REPO / "models_foldb", str(SPLITS / "covers_6_7_9.csv")),  # fold B
+    (REPO / "models", str(SPLITS / "covers_8_10.csv"),
+     "split_tr.csv"),                                           # fold A
+    (REPO / "models_foldb", str(SPLITS / "covers_6_7_9.csv"),
+     str(SPLITS / "covers_8_10.csv")),                          # fold B
 ]
 
 
@@ -103,9 +107,10 @@ def _unet_entries(unet_root):
 def build_folds():
     from wsunet_tpu.detect import Fold
     folds = []
-    for root, eval_split in FOLD_ROOTS:
+    for root, eval_split, train_split in FOLD_ROOTS:
         folds.append(Fold(
             eval_split=eval_split,
+            train_split=train_split,
             unets=_unet_entries(root),
             b0s=_b0_entries(root)))
     return folds
@@ -115,14 +120,15 @@ def main(results_dir=REPO / "results"):
     from wsunet_tpu.detect import holdout_roc
     folds = build_folds()
     for i, f in enumerate(folds):
-        print(f"fold {i} ({f.eval_split}):")
+        print(f"fold {i} (eval {f.eval_split}, train {f.train_split}):")
         for lbl, (path, name) in f.unets.items():
             print(f"  unet {lbl}: {path.name}/{name}")
         for lbl, spec in f.b0s.items():
             print(f"  b0   {lbl}: {spec['stego_method']}/"
                   f"{spec['model_name']}")
     df = holdout_roc(DATA, folds, results_dir=results_dir,
-                     suffix="holdout", batch_size=8)
+                     suffix="holdout", batch_size=8,
+                     filter_models=("AVG", "KB", "OLS"))
     print(df.to_string())
 
 

@@ -15,8 +15,10 @@ train/eval cover disjointness.  This module implements the protocol:
   (``eval_split``), and scores from all folds are pooled under a shared
   label into one full-coverage detection table.
 
-Weight-free detectors (AVG/KB/OLS filters) have no training covers and
-are scored on the full catalog once.
+Weight-free detectors (the fixed AVG/KB filters) have no training covers
+and are scored on the full catalog once.  OLS is fitted at eval time, so
+in a holdout sweep its taps are fitted per fold on ``Fold.train_split``
+covers and scored on that fold's eval covers like any trained detector.
 
 Outputs mirror the reference's auc/roc schema (src/ws/roc.py:198-283 via
 detect.roc.produce_roc) with an extra per-image provenance frame so the
@@ -40,12 +42,15 @@ class Fold:
     method-level directory holding the run (e.g. models/unet/LSBR).
     ``b0s``: label -> dict(model_dir=..., stego_method=..., model_name=...,
     lsbr_reference=bool); model_dir is the family root (e.g. models/b0).
+    ``train_split``: CSV of the fold's TRAINING covers — used by detectors
+    fitted at eval time (OLS) so their fit stays inside the fold.
     """
 
     eval_split: str
     unets: typing.Dict[str, typing.Tuple[pathlib.Path, str]] = \
         dataclasses.field(default_factory=dict)
     b0s: typing.Dict[str, dict] = dataclasses.field(default_factory=dict)
+    train_split: str = None
 
 
 def holdout_frames(
@@ -66,19 +71,31 @@ def holdout_frames(
 
     frames = []
 
-    def ws_sweep(model_name, model_path, label, split, fold_tag):
+    def ws_sweep(model_name, model_path, label, split, fold_tag,
+                 ols_fit_split=None):
         for sm in [None, *stego_methods]:
             for alpha in (alphas if sm else [None]):
                 res = ws_run(
                     input_dir=data_path, stego_method=sm, alpha=alpha,
                     model_name=model_name, model_path=model_path,
                     model_label=label, weighted=0, batch_size=batch_size,
-                    split=split)
+                    split=split, ols_fit_split=ols_fit_split)
                 res["fold"] = fold_tag
                 frames.append(res)
 
     for name in filter_models:
-        ws_sweep(name, None, name, None, "all")
+        if name == "OLS":
+            # OLS is fitted at eval time, so unlike the fixed named
+            # filters it HAS training covers: fit on each fold's
+            # train_split, score only that fold's eval covers
+            for fi, fold in enumerate(folds):
+                if fold.train_split is None:
+                    raise ValueError(
+                        "OLS in a holdout sweep needs Fold.train_split")
+                ws_sweep(name, None, name, fold.eval_split, f"fold{fi}",
+                         ols_fit_split=fold.train_split)
+        else:
+            ws_sweep(name, None, name, None, "all")
 
     from .b0_eval import run as b0_run
 

@@ -96,6 +96,7 @@ def run(
     split: str = None,
     take_num_images: int = None,
     model_label: str = None,
+    ols_fit_split: str = None,
 ) -> pd.DataFrame:
     """One (stego_method, alpha, model) attack configuration
     (parity: ws/estimate.py:149-205; model_name in the named filters picks
@@ -115,10 +116,16 @@ def run(
         # the reference's OLS sweep surface, ws/roc.py:319).  One channel:
         # 8-tap gray layout; 2-3 channels: color4/color8 layouts
         # (_defs/filters.py:16-27), helpers first, attacked channel last.
+        # ``ols_fit_split`` restricts the fit to a fold's TRAINING covers
+        # so holdout runs stay cover-disjoint (VERDICT r3 item 4: the
+        # reference ships externally-fitted kernels,
+        # src/filters/evaluate.py:129-133, so its fit never sees eval
+        # covers either); default None fits on all covers like the
+        # pooled reference sweep.
         from ..data import load_images
         from ..ops.ols import (
             ols_color_kernels, ols_color_predict, ols_kernel2d)
-        df_cov = precovers(input_dir)
+        df_cov = precovers(input_dir, split=ols_fit_split)
         kernel, estimator = None, None
         if len(channels) > 1:
             pixels4 = load_images(input_dir, list(df_cov["name"]),
