@@ -15,8 +15,9 @@ def main():
     out = run_bench()
     keys = ["metric", "value", "unit", "vs_baseline", "mfu",
             "flops_per_image", "tflops_per_sec", "fast_conv",
-            "fast_conv_error", "ws_fused", "fast_conv_parity",
-            "e2e_decode", "latency_ms_b1"]
+            "fast_conv_error", "ws_fused", "e2e_decode",
+            "latency_ms_b1", "rtt_floor_ms", "latency_ms_b1_net",
+            "latency_error"]
     print(json.dumps({k: out[k] for k in keys if k in out}))
 
 

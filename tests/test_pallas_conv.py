@@ -1,7 +1,9 @@
-"""Fused reflect-conv Pallas kernel: interpret-mode numerics + VJP.
+"""Retired fused reflect-conv Pallas kernel: interpret-mode numerics + VJP.
 
-The on-hardware run of the same kernel is exercised by the TPU bench
-(fast_conv path) and tests/test_tpu_pallas_parity.py's opt-in session.
+The kernel was retired from the shipping surface in round 4 (the XLA
+borderfix conv runs at 97.6% of the pad-free ceiling) but stays archived
+in experiments/pallas_reflect_conv.py with this suite and the TPU-gated
+parity test in tests/test_tpu_pallas_parity.py.
 """
 
 import numpy as np
@@ -9,7 +11,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from wsunet_tpu.ops.pallas_conv import (
+from wsunet_tpu.experiments.pallas_reflect_conv import (
     _TH, _forward, _reference, conv3x3_reflect_fused)
 
 

@@ -5,7 +5,7 @@ import jax
 import jax.numpy as jnp
 
 from wsunet_tpu.ops.reflect_conv import conv3x3_reflect_borderfix
-from wsunet_tpu.ops.pallas_conv import _reference
+from wsunet_tpu.experiments.pallas_reflect_conv import _reference
 
 
 @pytest.mark.parametrize("shape,cout", [

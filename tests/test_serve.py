@@ -1,0 +1,41 @@
+"""Latency-shaped batch-1 serving path (wsunet_tpu/serve.py)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from wsunet_tpu.models import get_model
+from wsunet_tpu.ops import ws_estimate_unet
+from wsunet_tpu.serve import UNetWSServer, measure_latency
+
+
+def test_server_matches_eval_path_numerics():
+    """The bf16 serving step must agree with the f32 eval path within
+    bf16 predictor tolerance, on the same weights."""
+    model = get_model("unet_2")
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (64, 64)).astype(np.uint8)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 1), jnp.float32))
+
+    server = UNetWSServer(model, variables, size=64)
+    beta_srv, l1_srv = server.predict(img)
+
+    x = jnp.asarray(img, jnp.float32)[None]
+    y = model.apply(variables, (x / 255.0)[..., None], deterministic=True)
+    beta_ref, l1_ref = ws_estimate_unet(x, y[:, 1:-1, 1:-1, 0] * 255.0)
+    # bf16 conv stack: ~3 decimal digits; the WS reduction itself is f32
+    assert abs(beta_srv - float(beta_ref[0])) < 5e-3
+    assert abs(l1_srv - float(l1_ref[0])) < 5e-1
+    assert np.isfinite(beta_srv) and np.isfinite(l1_srv)
+
+
+def test_measure_latency_reports_floor():
+    model = get_model("unet_0")
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 1), jnp.float32))
+    server = UNetWSServer(model, variables, size=64)
+    out = measure_latency(server, reps=3)
+    assert set(out) == {"latency_ms_b1", "rtt_floor_ms",
+                        "latency_ms_b1_net"}
+    assert out["latency_ms_b1"] > 0
+    assert out["latency_ms_b1_net"] <= out["latency_ms_b1"]

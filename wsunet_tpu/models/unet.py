@@ -115,10 +115,12 @@ class _Conv3x3Reflect(nn.Module):
     """One reflect-padded 3x3 conv.  Parameter names/shapes identical to
     nn.Conv's (kernel, bias), so existing checkpoints restore unchanged.
 
-    ``fast=True`` dispatches to the fused Pallas kernel on TPU
-    (ops/pallas_conv.py: reflect handled in VMEM, no padded-tensor HBM
-    round trip — the pad materialization costs ~40% of UNet inference
-    throughput, measured 439 vs 718 img/s on v5e)."""
+    ``fast="borderfix"`` (the TPU shipping path) computes conv-SAME plus
+    an exact 1-px border correction, avoiding pad materialization — the
+    pads cost ~40% of UNet inference throughput (439 vs 718 img/s on
+    v5e).  ``fast=True`` dispatches to the RETIRED fused Pallas kernel
+    (experiments/pallas_reflect_conv.py) — kept only as the hook for its
+    archived parity tests; no library path sets it."""
 
     features: int
     dtype: typing.Any = jnp.float32
@@ -142,7 +144,8 @@ class _Conv3x3Reflect(nn.Module):
                 x, k, b, relu=self.relu, precision=self.precision)
             return out
         if self.fast:
-            from ..ops.pallas_conv import conv3x3_reflect_fused
+            from ..experiments.pallas_reflect_conv import (
+                conv3x3_reflect_fused)
             return conv3x3_reflect_fused(x, k, b, relu=self.relu)
         out = jax.lax.conv_general_dilated(
             reflect_pad(x), k, (1, 1), "VALID",
@@ -179,8 +182,9 @@ class UNet(nn.Module):
     drop_rate: typing.Optional[float] = None
     disable_center: bool = False
     compute_dtype: typing.Any = jnp.float32
-    # fast_conv dispatches the 3x3 reflect convs to the fused Pallas
-    # kernel (TPU inference path; forward-only)
+    # fast_conv: False = reflect-pad XLA conv, "borderfix" = SAME conv +
+    # exact border correction (TPU shipping path), True = retired Pallas
+    # experiment (archived-test hook only)
     fast_conv: bool = False
     # f32 inputs at DEFAULT precision decompose to bf16 passes on this
     # stack (TPU and CPU alike); pin HIGHEST so the predictor feeding the
@@ -220,7 +224,8 @@ class UNet(nn.Module):
                 x.astype(self.compute_dtype), k11c, b11c, relu=True,
                 precision=self.precision)
         elif self.fast_conv:
-            from ..ops.pallas_conv import conv3x3_reflect_fused
+            from ..experiments.pallas_reflect_conv import (
+                conv3x3_reflect_fused)
             h = conv3x3_reflect_fused(
                 x.astype(self.compute_dtype), k11c, b11c, relu=True)
         else:

@@ -18,8 +18,8 @@ kernel cols k[:,0] / k[:,2] over REAL rows only (row ghosts already
 counted by top/bottom — zero-padded row windows avoid double counting).
 
 Exact (identical operand math, f32), differentiable through standard XLA
-ops, and layer-shape independent — unlike the Pallas kernel
-(ops/pallas_conv.py) it covers the C=1/64 full-resolution layers where
+ops, and layer-shape independent — unlike the retired Pallas kernel
+(experiments/pallas_reflect_conv.py) it covers the C=1/64 full-resolution layers where
 most of the pad bytes live.
 """
 

@@ -33,34 +33,6 @@ def infer_unet(model, variables, x: jnp.ndarray) -> jnp.ndarray:
     return y[:, 1:-1, 1:-1, 0] * 255.0
 
 
-_FAST_CONV_OK = None
-
-
-def _fast_conv_compiles() -> bool:
-    """One cached on-device compile probe of the fused reflect-conv.
-
-    A Mosaic regression must downgrade eval sweeps to the XLA path, not
-    crash them (the results regeneration runs unattended)."""
-    global _FAST_CONV_OK
-    if _FAST_CONV_OK is None:
-        try:
-            from ..ops.pallas_conv import _forward
-            # probe the LARGEST f32-eligible unet_2 layer shape (the
-            # decoder 256->128 conv at 256x256): Pallas compiles per
-            # shape, so a VMEM-pressure regression at the real layer
-            # sizes must fail the probe, not the unattended sweep
-            x = jnp.zeros((1, 16, 256, 256), jnp.float32)
-            w = jnp.zeros((3, 3, 256, 128), jnp.float32)
-            jax.block_until_ready(_forward(x, w, jnp.zeros((128,))))
-            _FAST_CONV_OK = True
-        except Exception as e:  # noqa: BLE001 — any compile failure
-            import logging
-            logging.getLogger("wsunet_tpu").warning(
-                "fused reflect-conv unavailable, using XLA convs: %s", e)
-            _FAST_CONV_OK = False
-    return _FAST_CONV_OK
-
-
 def load_pretrained_unet(
     model_path: pathlib.Path,
     model_name: str,
@@ -71,24 +43,18 @@ def load_pretrained_unet(
     (parity: unet/evaluate.py:162-188 — in/out channels forced to 1 and
     drop_rate to 0 at eval time).
 
-    ``fast_conv="auto"`` uses the fused Pallas reflect-conv kernel on TPU
-    (identical math, ~1.6x inference throughput); gradients flow through a
-    custom VJP, so saliency/backprop consumers work unchanged."""
+    ``fast_conv="auto"`` resolves to the border-corrected SAME conv on
+    TPU (pure XLA, exact reflect math, no pad materialization — 700.5
+    img/s = 97.6% of the pad-free ceiling, results/perf_traces/
+    ANALYSIS.md) and to the plain reflect-pad path on CPU.  The fused
+    Pallas reflect-conv experiment was retired in round 4
+    (experiments/pallas_reflect_conv.py): parity-correct but slower than
+    the borderfix path, which leaves <2.4% headroom for any fused conv."""
     exp_dir = pathlib.Path(model_path) / model_name
     config = load_config(exp_dir)
     if fast_conv == "auto":
-        # default on TPU: the border-corrected SAME conv (pure XLA,
-        # exact reflect math, no pad materialization — 510 vs 439 img/s
-        # measured).  WSUNET_FAST_CONV=1 opts into the Pallas kernel
-        # (parity-correct, currently slower: per-tile DMA not
-        # double-buffered); =0 forces the plain reflect-pad XLA path.
-        mode = os.environ.get("WSUNET_FAST_CONV", "borderfix")
-        fast_conv = False
-        if jax.devices()[0].platform == "tpu":
-            if mode == "1" and _fast_conv_compiles():
-                fast_conv = True
-            elif mode == "borderfix":
-                fast_conv = "borderfix"
+        fast_conv = ("borderfix"
+                     if jax.devices()[0].platform == "tpu" else False)
     model = get_model(
         config["network"], in_channels=1, out_channels=1,
         drop_rate=None, compute_dtype=compute_dtype, fast_conv=fast_conv)
