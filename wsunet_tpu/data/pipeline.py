@@ -34,11 +34,22 @@ class Batch:
     rows: "typing.Any"
 
 
-# decoded-image cache for training loops: epochs re-visit the same few
-# covers hundreds of times, and the (single-core) host decode would
-# otherwise dominate the step time.  Keyed by (path, reader name).
+# decoded-image cache shared by training loops AND eval sweeps: epochs
+# re-visit the same few covers hundreds of times, and the roc/detector
+# sweeps decode the same catalog once per (model, method, alpha)
+# configuration — on the single-core host that decode would otherwise
+# bound the whole pipeline 6x below chip capability (VERDICT r3 item 5).
+# Keyed by (path, reader name); bounded by BYTES, not entries, because
+# entry sizes span 0.25MB (gray u8) to 1MB+ (RGBY).
 _DECODE_CACHE: dict = {}
-_DECODE_CACHE_MAX = 2048  # images; bounds host RAM for big catalogs
+_DECODE_CACHE_BYTES = 0
+_DECODE_CACHE_BUDGET = 1 << 30  # 1 GiB of decoded pixels
+
+
+def clear_decode_cache():
+    global _DECODE_CACHE_BYTES
+    _DECODE_CACHE.clear()
+    _DECODE_CACHE_BYTES = 0
 
 
 def _decode_many(paths, reader, threads: int,
@@ -46,14 +57,17 @@ def _decode_many(paths, reader, threads: int,
     """Decode all paths; failed decodes yield None entries (the reference's
     per-image try/except -> None -> downstream NaN filtering analogue,
     ws/estimate.py:117-123 / fabrika ignore_missing)."""
+    global _DECODE_CACHE_BYTES
     if cache:
         keys = [(str(p), reader.__name__) for p in paths]
         missing = [p for p, k in zip(paths, keys) if k not in _DECODE_CACHE]
         if missing:
             decoded = _decode_many(missing, reader, threads, cache=False)
-            if len(_DECODE_CACHE) + len(missing) <= _DECODE_CACHE_MAX:
+            new_bytes = sum(d.nbytes for d in decoded if d is not None)
+            if _DECODE_CACHE_BYTES + new_bytes <= _DECODE_CACHE_BUDGET:
                 for p, d in zip(missing, decoded):
                     _DECODE_CACHE[(str(p), reader.__name__)] = d
+                _DECODE_CACHE_BYTES += new_bytes
             else:  # over budget: serve this batch uncached
                 lookup = {(str(p), reader.__name__): d
                           for p, d in zip(missing, decoded)}

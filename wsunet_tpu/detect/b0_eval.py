@@ -90,7 +90,8 @@ def get_b0_detector(
 
 def _score_frame(root, df, detect, batch_size, threads) -> pd.DataFrame:
     frames = []
-    for batch in iterate_batches(root, df, batch_size, threads=threads):
+    for batch in iterate_batches(root, df, batch_size, threads=threads,
+                                 prefetch=2, cache=True):
         scores = np.asarray(detect(jnp.asarray(
             batch.pixels).astype(jnp.float32)))
         out = batch.rows.copy()

@@ -73,8 +73,10 @@ def attack_sweep(
 
     reader = imread4_u8 if color else imread_gray_u8
     betas = []
+    # cache=True: the roc sweep runs this once per (model, method,
+    # alpha) configuration over the SAME images — decode each once
     for batch in iterate_batches(root, df, batch_size, reader=reader,
-                                 threads=threads):
+                                 threads=threads, prefetch=2, cache=True):
         b = np.asarray(step(jnp.asarray(batch.pixels)))
         vals = b[: len(batch.rows)].astype("float64")
         vals[~batch.mask[: len(batch.rows)]] = np.nan  # failed decodes

@@ -90,7 +90,8 @@ def run(
         df = precovers(input_dir, split=split, **order_kw)
         rows = []
         for batch in iterate_batches(input_dir, df, batch_size,
-                                     reader=reader, threads=threads):
+                                     reader=reader, threads=threads,
+                                     prefetch=2, cache=True):
             mae, wmae = step(jnp.asarray(batch.pixels))
             mae, wmae = np.asarray(mae), np.asarray(wmae)
             for i, (_, row) in enumerate(batch.rows.iterrows()):

@@ -95,7 +95,8 @@ def _predict_frame(
         return ws_estimate_unet(xc, x_hat)
 
     frames = []
-    for batch in iterate_batches(root, df, batch_size, threads=threads):
+    for batch in iterate_batches(root, df, batch_size, threads=threads,
+                                 prefetch=2, cache=True):
         beta, l1 = step(jnp.asarray(batch.pixels))
         beta, l1 = np.asarray(beta), np.asarray(l1)
         out = batch.rows.copy()
