@@ -1,0 +1,128 @@
+"""Round-4 chain, part 2: resume after the TPU tunnel outage.
+
+At 19:53 the axon relay (the host-side process every TPU RPC rides
+through) closed and `scripts/round4_chain.py` hung forever in a futex
+wait inside nsr-folda-s2 (epoch 27/50, latest checkpoint saved 19:53).
+This runner finishes the remaining round-4 stages with two fixes the
+outage surfaced:
+
+* every stage runs in a FRESH subprocess — the single-process chain
+  grew to 68.5 GB over three stages (its predecessor OOM-killed at
+  130 GB, dmesg 75515s) because jit caches and Orbax state accumulate
+  across train() calls; a per-stage process resets that, and a stage
+  crash (OOM, tunnel loss) no longer takes the whole chain down;
+* the runner waits for the relay ports to accept before starting a
+  stage, so a mid-outage launch blocks here instead of inside a jit.
+
+Stages (tags match what scripts/round4_finish.py swaps):
+
+  0 nsr-folda-cont     resume s2 from the interrupted run's epoch-27
+                       checkpoint, then s3 / recal / final
+  1 hillr-b0-folda     HILLR fine-tune of the fold-A nsr final
+  2 unet-hillr-foldb   l1ws HILLR UNet, covers {8,10}
+"""
+import pathlib
+import socket
+import subprocess
+import sys
+import time
+import traceback
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+# nsr-folda-s2, interrupted at epoch 27/50 by the relay outage; both
+# model/best and model/latest were written 19:53 (select_metric="last",
+# so best tracks the end of schedule — resume pulls exactly epoch 27)
+NSR_FOLDA_S2_PART = ("260817193119-tpu-b0-nostride-alpha_mix0.1-0.05-0.01"
+                     "_grayscale_crossentropy_lr_0.0001_dr_0.2")
+
+
+def stage_nsr_folda_cont():
+    from scripts.round2_train_b0 import COMMON, NSR
+    from scripts.round3_chain import (FOLD_A, FULLRES, _recalibrate,
+                                      _train_b0)
+    tag = "nsr-folda"
+    base = {**COMMON, **NSR, **FOLD_A, "select_metric": "last",
+            "stego_method": "LSBR"}
+    s2 = _train_b0({**base, "alpha": [0.1, 0.05, 0.01],
+                    "val_alpha": [0.1, 0.05, 0.01], "num_epochs": 25,
+                    "learning_rate": 1e-4, "resume": NSR_FOLDA_S2_PART})
+    print(f"STAGE-DONE {tag}-s2: {s2}", flush=True)
+    s3 = _train_b0({**base, **FULLRES, "alpha": [0.1, 0.05, 0.01],
+                    "val_alpha": [0.1, 0.05, 0.01], "num_epochs": 15,
+                    "learning_rate": 3e-5, "resume": s2})
+    print(f"STAGE-DONE {tag}-s3: {s3}", flush=True)
+    recal = _recalibrate("LSBR", s3)
+    print(f"STAGE-DONE {tag}-recal: {recal}", flush=True)
+    final = _train_b0({**base, **FULLRES, "freeze_bn": True,
+                       "alpha": [0.1, 0.05, 0.01],
+                       "val_alpha": [0.1, 0.05, 0.01], "num_epochs": 10,
+                       "learning_rate": 2e-5, "resume": recal})
+    print(f"STAGE-DONE {tag}-final: {final}", flush=True)
+
+
+def stage_hillr_b0_folda():
+    from scripts.round3_chain import FOLD_A, hillr_finetune
+    hillr_finetune(FOLD_A, "hillr-b0-folda")
+
+
+def stage_unet_hillr_foldb():
+    from scripts.round3_chain import FOLD_B, L1WS, _train_unet
+    cfg = {**L1WS, **FOLD_B, "stego_method": "HILLR",
+           "num_epochs": 80, "patience": 80}
+    exp = _train_unet(cfg)
+    print(f"STAGE-DONE unet-hillr-foldb: {exp}", flush=True)
+
+
+STAGES = [stage_nsr_folda_cont, stage_hillr_b0_folda,
+          stage_unet_hillr_foldb]
+
+RELAY_PORT = 8082  # first axon relay port (/root/.tpu_init.py PORTS)
+
+
+def wait_for_relay(timeout_s: float = 7200.0) -> bool:
+    t0 = time.time()
+    notified = False
+    while time.time() - t0 < timeout_s:
+        try:
+            with socket.create_connection(("127.0.0.1", RELAY_PORT), 2):
+                return True
+        except OSError:
+            if not notified:
+                print("relay down; waiting for the axon tunnel...",
+                      flush=True)
+                notified = True
+            time.sleep(15)
+    return False
+
+
+def main(start: int = 0) -> int:
+    for i, stage in enumerate(STAGES[start:], start):
+        name = stage.__name__
+        if not wait_for_relay():
+            print(f"CHAIN-ABORT {name}: relay never came back", flush=True)
+            return 1
+        print(f"STAGE-START {i} {name}", flush=True)
+        rc = subprocess.call(
+            [sys.executable, __file__, "--stage", str(i)], cwd=REPO)
+        if rc:
+            print(f"STAGE-FAIL {i} {name}: rc={rc}", flush=True)
+            # continue: later stages depend on nsr-folda only via
+            # hillr-b0-folda; unet-hillr-foldb is independent
+    print("CHAIN-END", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    if "--stage" in sys.argv:
+        idx = int(sys.argv[sys.argv.index("--stage") + 1])
+        try:
+            STAGES[idx]()
+        except Exception:
+            traceback.print_exc()
+            raise SystemExit(1)
+        raise SystemExit(0)
+    start = int(sys.argv[sys.argv.index("--start") + 1]) \
+        if "--start" in sys.argv else 0
+    raise SystemExit(main(start))

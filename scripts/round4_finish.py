@@ -34,7 +34,8 @@ sys.path.insert(0, str(REPO))
 
 from scripts.round3_finish import stage_done              # noqa: E402
 
-LOGS = [REPO / "logs/round3_stages1-4.log", REPO / "logs/round4_chain.log"]
+LOGS = [REPO / "logs/round3_stages1-4.log", REPO / "logs/round4_chain.log",
+        REPO / "logs/round4_chain2.log"]
 
 SWAPS = [
     ("unet-lsbr-foldb-dr", "b", "unet", "LSBR"),
