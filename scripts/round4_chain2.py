@@ -81,7 +81,10 @@ STAGES = [stage_nsr_folda_cont, stage_hillr_b0_folda,
 RELAY_PORT = 8082  # first axon relay port (/root/.tpu_init.py PORTS)
 
 
-def wait_for_relay(timeout_s: float = 7200.0) -> bool:
+def wait_for_relay(timeout_s: float = 36000.0) -> bool:
+    # 10h: the round-4 relay outage (19:53) had no ETA; the chain is
+    # the round's critical path, so it outwaits anything short of the
+    # round itself ending
     t0 = time.time()
     notified = False
     while time.time() - t0 < timeout_s:
