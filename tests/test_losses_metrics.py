@@ -149,3 +149,15 @@ def test_produce_roc_reports_wauc_and_pmd(data_root):
     pm.update(y, s)
     assert abs(w - wm.avg) < 1e-12
     assert abs(p - pm.avg) < 1e-12
+
+
+def test_wauc_degenerate_split_is_nan_not_crash():
+    # a tiny eval set can leave <2 ROC points on one side of the
+    # beta=0.4 split; sklearn.auc needs 2 (the reference meter raises
+    # here) — the meter must report NaN instead of crashing the sweep
+    m = M.wAUCMeter()
+    m.update(np.array([0, 1]), np.array([0.9, 0.1]))  # inverted 1v1
+    assert np.isnan(m.avg)
+    m2 = M.wAUCMeter()  # perfect 1v1: first threshold already tpr>=0.4
+    m2.update(np.array([0, 1]), np.array([0.1, 0.9]))
+    assert np.isnan(m2.avg)

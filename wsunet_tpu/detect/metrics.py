@@ -224,6 +224,13 @@ class wAUCMeter(PerformanceMeter):
             return np.nan
         idx = np.argmin(tpr < .4)
         alpha_beta_p4 = fpr[idx]
+        if idx < 2 or len(fpr) - idx < 2:
+            # degenerate split: sklearn.metrics.auc needs >=2 points per
+            # segment. The reference meter raises here (metrics.py:297-298
+            # via sklearn); reachable only on tiny eval sets (per-fold
+            # holdout ROCs), where the weighted AUC is undefined — report
+            # NaN like the meter's existing NaN-input branch.
+            return np.nan
         aucA = _skm.auc(fpr[:idx], tpr[:idx])
         aucB = _skm.auc(fpr[idx:], tpr[idx:])
         return (aucA * 2 + aucB) / (1 + alpha_beta_p4)
