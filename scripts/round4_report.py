@@ -24,10 +24,22 @@ def _fmt(v):
     return "-" if pd.isna(v) else f"{v:.3f}"
 
 
+def _canon(name: str) -> str:
+    """Normalize detector labels for the ours-vs-golden merge: both sides
+    suffix B0 rows with their val-alpha schedule (golden "B0_0.01" /
+    "ns-r-B0_0.01", reference src/detector/evaluate.py run labels; ours
+    "B0_mix0.1-0.05-0.01"), which is training provenance, not detector
+    identity."""
+    import re
+    return re.sub(r"_(mix)?[0-9][0-9.\-]*$", "", name)
+
+
 def render(csv: pathlib.Path, golden: pathlib.Path = GOLDEN) -> str:
     ours = pd.read_csv(csv)
     gold = pd.read_csv(golden)
     gold = gold.rename(columns={"auc": "auc_gold", "p_e": "p_e_gold"})
+    ours["model_name"] = ours["model_name"].map(_canon)
+    gold["model_name"] = gold["model_name"].map(_canon)
     m = ours.merge(gold[["stego_method", "model_name", "auc_gold",
                          "p_e_gold"]],
                    on=["stego_method", "model_name"], how="outer")
