@@ -13,7 +13,7 @@ def test_render_pools_golden_columns():
     md = render(REPO / "results/detection/auc_0.01.csv")
     lines = md.splitlines()
     assert lines[0].startswith("| method | detector |")
-    kb = next(l for l in lines if "| KB |" in l)
+    kb = next(l for l in lines if l.startswith("| LSBR | KB |"))
     # KB is weight-free: holdout and golden columns must be identical
     cells = [c.strip() for c in kb.strip("|").split("|")]
     assert cells[2] == cells[4] == "0.733"
