@@ -12,12 +12,14 @@
 //
 // Build: make -C native   (produces native/libwsdata.so)
 
+#include <libdeflate.h>
 #include <png.h>
 
 #include <atomic>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <thread>
 #include <vector>
@@ -36,9 +38,208 @@ inline uint8_t rgb_to_gray(uint8_t r, uint8_t g, uint8_t b) {
   return static_cast<uint8_t>((kRY * r + kGY * g + kBY * b + kRound) >> kShift);
 }
 
+// ---------------------------------------------------------------------
+// Fast path: whole-file chunk parse + one-shot libdeflate inflate +
+// hand-rolled defilter.  libpng's row-at-a-time zlib streaming is the
+// measured bottleneck (~4.6 ms for a 512x512 gray PNG on one core);
+// libdeflate inflates the concatenated IDAT in a single call.
+//
+// Deliberately restricted to the subset where byte parity with the
+// libpng/PIL path is structural: 8-bit, non-interlaced, gray (ctype 0)
+// or RGB (ctype 2), and no color-management or alpha chunks (gAMA/
+// sRGB/iCCP/cHRM/tRNS/bKGD trigger transforms in the simplified libpng
+// API).  Anything else returns kNotEligible and takes the libpng path.
+// CRCs are not verified (the zlib adler32 already covers the pixel
+// stream; chunk CRCs only re-cover the same bytes).
+
+constexpr int kNotEligible = -1;
+
+struct PngRaw {
+  int h = 0, w = 0, channels = 0;
+  size_t rowbytes = 0;               // 1 filter byte + w*channels
+  std::vector<uint8_t> scan;         // h*rowbytes, defiltered in place
+  const uint8_t* row(int y) const { return scan.data() + y * rowbytes + 1; }
+};
+
+inline uint8_t paeth(int a, int b, int c) {
+  const int p = a + b - c;
+  const int pa = std::abs(p - a), pb = std::abs(p - b), pc = std::abs(p - c);
+  if (pa <= pb && pa <= pc) return static_cast<uint8_t>(a);
+  if (pb <= pc) return static_cast<uint8_t>(b);
+  return static_cast<uint8_t>(c);
+}
+
+// Paeth rows dominate real photographs (493/512 rows on the fixture
+// covers), and the bpp=1 recurrence is serial in `a` — keep the carry
+// in a register and make the 3-way select branchless (cmov) instead of
+// re-loading cur[i-1] and branching per byte: ~3x on the defilter.
+inline void paeth_row_bpp1(uint8_t* cur, const uint8_t* prev, size_t n) {
+  int a = static_cast<uint8_t>(cur[0] + prev[0]);  // b=prev, c=0 -> pred=b
+  cur[0] = static_cast<uint8_t>(a);
+  for (size_t i = 1; i < n; ++i) {
+    const int b = prev[i], c = prev[i - 1];
+    const int p = b - c;                    // (a+b-c) - a
+    const int q = a - c;                    // (a+b-c) - b
+    const int pa = std::abs(p);
+    const int pb = std::abs(q);
+    const int pc = std::abs(p + q);
+    int pred = (pb <= pc) ? b : c;
+    pred = (pa <= pb && pa <= pc) ? a : pred;
+    a = static_cast<uint8_t>(cur[i] + pred);
+    cur[i] = static_cast<uint8_t>(a);
+  }
+}
+
+int fast_png_read(const char* path, PngRaw* img) {
+  std::FILE* f = std::fopen(path, "rb");
+  if (!f) return 1;
+  std::fseek(f, 0, SEEK_END);
+  const long sz = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  if (sz < 45) { std::fclose(f); return 1; }
+  std::vector<uint8_t> buf(static_cast<size_t>(sz));
+  const size_t got = std::fread(buf.data(), 1, buf.size(), f);
+  std::fclose(f);
+  if (got != buf.size()) return 1;
+
+  static const uint8_t kSig[8] = {137, 80, 78, 71, 13, 10, 26, 10};
+  if (std::memcmp(buf.data(), kSig, 8) != 0) return kNotEligible;
+  auto be32 = [&buf](size_t o) {
+    return (static_cast<uint32_t>(buf[o]) << 24) |
+           (static_cast<uint32_t>(buf[o + 1]) << 16) |
+           (static_cast<uint32_t>(buf[o + 2]) << 8) | buf[o + 3];
+  };
+  if (be32(8) != 13 || std::memcmp(&buf[12], "IHDR", 4) != 0)
+    return kNotEligible;
+  const uint32_t w = be32(16), h = be32(20);
+  const uint8_t depth = buf[24], ctype = buf[25], interlace = buf[28];
+  if (depth != 8 || interlace != 0 || w == 0 || h == 0) return kNotEligible;
+  if (w > 1u << 24 || h > 1u << 24) return kNotEligible;
+  int channels;
+  if (ctype == 0) channels = 1;
+  else if (ctype == 2) channels = 3;
+  else return kNotEligible;  // palette / alpha: libpng path
+
+  std::vector<uint8_t> idat;
+  idat.reserve(buf.size());
+  size_t off = 33;  // signature + IHDR chunk
+  while (off + 12 <= buf.size()) {
+    const uint32_t len = be32(off);
+    if (len > buf.size() || off + 12 + len > buf.size()) return kNotEligible;
+    const uint8_t* tag = &buf[off + 4];
+    if (std::memcmp(tag, "IDAT", 4) == 0) {
+      idat.insert(idat.end(), buf.begin() + off + 8,
+                  buf.begin() + off + 8 + len);
+    } else if (std::memcmp(tag, "IEND", 4) == 0) {
+      break;
+    } else if (std::memcmp(tag, "gAMA", 4) == 0 ||
+               std::memcmp(tag, "sRGB", 4) == 0 ||
+               std::memcmp(tag, "iCCP", 4) == 0 ||
+               std::memcmp(tag, "cHRM", 4) == 0 ||
+               std::memcmp(tag, "tRNS", 4) == 0 ||
+               std::memcmp(tag, "bKGD", 4) == 0) {
+      return kNotEligible;  // would trigger a libpng transform
+    }
+    off += 12 + static_cast<size_t>(len);
+  }
+  if (idat.empty()) return kNotEligible;
+
+  img->h = static_cast<int>(h);
+  img->w = static_cast<int>(w);
+  img->channels = channels;
+  const size_t stride = static_cast<size_t>(w) * channels;
+  img->rowbytes = 1 + stride;
+  img->scan.resize(static_cast<size_t>(h) * img->rowbytes);
+
+  // one decompressor per decode thread, reused across the whole batch
+  thread_local libdeflate_decompressor* dec = libdeflate_alloc_decompressor();
+  if (!dec) return 1;
+  size_t outn = 0;
+  const libdeflate_result rc = libdeflate_zlib_decompress(
+      dec, idat.data(), idat.size(), img->scan.data(), img->scan.size(),
+      &outn);
+  if (rc != LIBDEFLATE_SUCCESS || outn != img->scan.size())
+    return kNotEligible;  // odd stream; let libpng decide
+
+  // defilter in place (PNG filters 0-4; bpp == channels at 8 bit)
+  const int bpp = channels;
+  uint8_t* prev = nullptr;
+  for (uint32_t y = 0; y < h; ++y) {
+    uint8_t* rowp = img->scan.data() + static_cast<size_t>(y) * img->rowbytes;
+    const uint8_t filt = rowp[0];
+    uint8_t* cur = rowp + 1;
+    switch (filt) {
+      case 0:  // None
+        break;
+      case 1:  // Sub
+        for (size_t i = bpp; i < stride; ++i)
+          cur[i] = static_cast<uint8_t>(cur[i] + cur[i - bpp]);
+        break;
+      case 2:  // Up
+        if (prev)
+          for (size_t i = 0; i < stride; ++i)
+            cur[i] = static_cast<uint8_t>(cur[i] + prev[i]);
+        break;
+      case 3:  // Average
+        if (prev) {
+          for (int i = 0; i < bpp; ++i)
+            cur[i] = static_cast<uint8_t>(cur[i] + (prev[i] >> 1));
+          for (size_t i = bpp; i < stride; ++i)
+            cur[i] = static_cast<uint8_t>(
+                cur[i] + ((cur[i - bpp] + prev[i]) >> 1));
+        } else {
+          for (size_t i = bpp; i < stride; ++i)
+            cur[i] = static_cast<uint8_t>(cur[i] + (cur[i - bpp] >> 1));
+        }
+        break;
+      case 4:  // Paeth
+        if (prev) {
+          if (bpp == 1) {
+            paeth_row_bpp1(cur, prev, stride);
+            break;
+          }
+          for (int i = 0; i < bpp; ++i)
+            cur[i] = static_cast<uint8_t>(cur[i] + prev[i]);
+          for (size_t i = bpp; i < stride; ++i)
+            cur[i] = static_cast<uint8_t>(
+                cur[i] + paeth(cur[i - bpp], prev[i], prev[i - bpp]));
+        } else {
+          for (size_t i = bpp; i < stride; ++i)
+            cur[i] = static_cast<uint8_t>(cur[i] + cur[i - bpp]);
+        }
+        break;
+      default:
+        return kNotEligible;
+    }
+    prev = cur;
+  }
+  return 0;
+}
+
 // Decode one PNG into an 8-bit grayscale buffer of exactly h*w pixels.
 // Returns 0 on success, nonzero error code otherwise.
 int decode_gray_one(const char* path, uint8_t* out, int h, int w) {
+  {
+    PngRaw img;
+    const int rc = fast_png_read(path, &img);
+    if (rc == 0) {
+      if (img.h != h || img.w != w) return 2;
+      if (img.channels == 1) {
+        for (int y = 0; y < h; ++y)
+          std::memcpy(out + static_cast<size_t>(y) * w, img.row(y), w);
+        return 0;
+      }
+      for (int y = 0; y < h; ++y) {
+        const uint8_t* r = img.row(y);
+        uint8_t* o = out + static_cast<size_t>(y) * w;
+        for (int x = 0; x < w; ++x)
+          o[x] = rgb_to_gray(r[3 * x], r[3 * x + 1], r[3 * x + 2]);
+      }
+      return 0;
+    }
+    if (rc > 0) return rc;
+    // kNotEligible: fall through to libpng
+  }
   png_image image;
   std::memset(&image, 0, sizeof(image));
   image.version = PNG_IMAGE_VERSION;
@@ -75,6 +276,40 @@ int decode_gray_one(const char* path, uint8_t* out, int h, int w) {
 // replicate the plane into R=G=B=Y, exactly like cv2.imread's 3-channel
 // promotion followed by BGR2GRAY.
 int decode_rgby_one(const char* path, uint8_t* out, int h, int w) {
+  {
+    PngRaw img;
+    const int rc = fast_png_read(path, &img);
+    if (rc == 0) {
+      if (img.h != h || img.w != w) return 2;
+      if (img.channels == 1) {
+        for (int y = 0; y < h; ++y) {
+          const uint8_t* r = img.row(y);
+          uint8_t* o = out + static_cast<size_t>(y) * w * 4;
+          for (int x = 0; x < w; ++x) {
+            const uint8_t v = r[x];
+            o[4 * x] = v;
+            o[4 * x + 1] = v;
+            o[4 * x + 2] = v;
+            o[4 * x + 3] = v;
+          }
+        }
+        return 0;
+      }
+      for (int y = 0; y < h; ++y) {
+        const uint8_t* r = img.row(y);
+        uint8_t* o = out + static_cast<size_t>(y) * w * 4;
+        for (int x = 0; x < w; ++x) {
+          const uint8_t rr = r[3 * x], gg = r[3 * x + 1], bb = r[3 * x + 2];
+          o[4 * x] = rr;
+          o[4 * x + 1] = gg;
+          o[4 * x + 2] = bb;
+          o[4 * x + 3] = rgb_to_gray(rr, gg, bb);
+        }
+      }
+      return 0;
+    }
+    if (rc > 0) return rc;
+  }
   png_image image;
   std::memset(&image, 0, sizeof(image));
   image.version = PNG_IMAGE_VERSION;
