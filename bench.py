@@ -17,7 +17,7 @@ def main():
             "flops_per_image", "tflops_per_sec", "fast_conv",
             "fast_conv_error", "ws_fused", "e2e_decode",
             "latency_ms_b1", "rtt_floor_ms", "latency_ms_b1_net",
-            "latency_error"]
+            "latency_error", "platform", "tpu_unreachable"]
     print(json.dumps({k: out[k] for k in keys if k in out}))
 
 
