@@ -61,6 +61,18 @@ def main(commit: bool = True) -> int:
              "Leak-free holdout detection tables; README/PARITY headline "
              "the holdout-vs-golden comparison"], cwd=REPO)
         note(f"commit rc={rc}")
+    # TPU bench snapshot while the chip is free (the driver's own bench
+    # run happens at round end; this one records the post-chain state
+    # with the fast decode path + serving latency for BENCH_r04 triage)
+    bench_out = REPO / "logs/bench_r4_postchain.json"
+    with open(bench_out, "w") as f:
+        brc = subprocess.call([sys.executable, "bench.py"], cwd=REPO,
+                              stdout=f)
+    note(f"bench rc={brc} -> {bench_out.name}")
+    if commit and brc == 0:
+        subprocess.call(["git", "add", str(bench_out)], cwd=REPO)
+        subprocess.call(["git", "commit", "-m",
+                         "Post-chain TPU bench snapshot"], cwd=REPO)
     return rc
 
 
