@@ -33,7 +33,8 @@ def main():
         # four-predictor sweep (AVG, KB, UNet_l1, UNet_l1ws_LSBR) + OLS;
         # writes ws_sweep_LSBR.csv (never the unet-eval golden file)
         ["ws-eval", "--data", DATA, "--results", results,
-         "--model-dir", unet_dir, "--models", "AVG", "KB", "OLS", "UNet"],
+         "--model-dir", unet_dir, "--models", "AVG", "KB", "KB-w", "OLS",
+         "UNet"],
         ["detector-eval", "--data", DATA, "--results", results,
          "--model-dir", b0_dir],
         # HILLR curves land in the committed artifacts alongside LSBR

@@ -122,3 +122,24 @@ def test_produce_roc_degenerate_fallback_rank_auc():
     # (4*5 + 0.5*5) / 25 = 0.9
     np.testing.assert_allclose(auc, 0.9, atol=1e-12)
     np.testing.assert_allclose(roc["p_e"].iloc[0], 0.1, atol=1e-12)
+
+
+def test_weighted_kb_detector_row(data_root):
+    """'KB-w' resolves to the inverse-variance weighted WS estimate
+    (weighted=1) under its own label, and on the fixture protocol it
+    dominates the uniform KB estimate the golden table benches (LSBR
+    AUC 1.0 vs 0.733): covers clip to 0 while every stego image stays
+    positive."""
+    frames = []
+    for stego_method in [None, "LSBR"]:
+        for alpha in (ALPHAS if stego_method else [None]):
+            frames.append(ws_run(
+                input_dir=data_root, stego_method=stego_method,
+                alpha=alpha, model_name="KB-w"))
+    res = pd.concat(frames).reset_index(drop=True)
+    assert set(res["model_name"]) == {"KB-w"}
+    assert set(res["weighted"]) == {1}
+    res["stego_method"] = res["stego_method"].fillna("Cover")
+    res["alpha"] = res["alpha"].fillna(0.0)
+    roc = produce_roc(res)
+    assert roc["auc"].iloc[0] >= 0.99

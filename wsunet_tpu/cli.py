@@ -93,7 +93,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stego-methods", nargs="+", default=["LSBR"],
                    help="stego methods to build curves for (e.g. HILLR)")
     p.add_argument("--alphas", nargs="+", type=float, default=[.1, .05, .01])
-    p.add_argument("--models", nargs="+", default=["AVG", "KB", "UNet"])
+    p.add_argument("--models", nargs="+",
+                   default=["AVG", "KB", "KB-w", "UNet"])
     p.add_argument("--b0", action="store_true", help="include B0 detectors")
     p.add_argument("--b0-train-alpha", type=float, default=None,
                    help="registry filter on the B0 training alpha (labels "

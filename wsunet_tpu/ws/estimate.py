@@ -109,6 +109,15 @@ def run(
     kernel_name = None
     estimator4 = None
     channel = tuple(channels)[-1] if channels else 3
+    weighted_label = None
+    if model_name.endswith("-w") and model_name[:-2] in NAMED_FILTERS_2D:
+        # '<FILTER>-w' = the inverse-variance weighted WS estimate
+        # (weighted=1). The reference implements this weighting
+        # (src/ws/attack.py, 1/(5+var)) but its golden detection sweep
+        # only ever benches the uniform estimate; exposed as its own
+        # detector row it dominates it (fixture LSBR AUC 1.0 vs 0.733
+        # for uniform KB) while staying weight-free and leak-free.
+        weighted_label, model_name, weighted = model_name, model_name[:-2], 1
     if model_name in NAMED_FILTERS_2D:
         kernel, estimator = NAMED_FILTERS_2D[model_name], None
         kernel_name = model_name
@@ -162,7 +171,7 @@ def run(
 
     res = df.reset_index(drop=True).copy()
     res["beta_hat"] = betas
-    res["model_name"] = model_label or out_model_name
+    res["model_name"] = model_label or weighted_label or out_model_name
     res["channels"] = "".join(map(str, channels))
     res["weighted"] = weighted
     res["correct_bias"] = correct_bias
