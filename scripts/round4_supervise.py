@@ -1,0 +1,143 @@
+"""Round-4 lifecycle supervisor: keep the training chain alive across
+relay outages, then run the end-game exactly once.
+
+Supersedes scripts/round4_watch.py (which only *watched*: it exited on
+CHAIN-ABORT, so a relay that came back after the chain's 10 h gate
+expired would leave the round stalled with a healthy TPU).  This
+process owns the whole lifecycle instead:
+
+* chain process dead without CHAIN-END (gate expiry, OOM, crash) ->
+  wait for the relay, then relaunch ``scripts/round4_chain2.py`` with
+  ``--start <first unfinished stage>`` (stage completion is judged by
+  the stages' own terminal STAGE-DONE markers, not by STAGE-START,
+  so a mid-stage death resumes the right stage);
+* CHAIN-END in the log -> finisher (fold-zoo swap + results regen incl.
+  the leak-free holdout tables) -> publish (README/PARITY splice) ->
+  commit -> post-chain TPU bench snapshot, then exit.
+
+Decisions key off process liveness + markers only; stale CHAIN-ABORT
+lines from earlier gate expiries are deliberately ignored.
+
+Run: ``nohup python scripts/round4_supervise.py & echo $! >
+/tmp/round4_supervise.pid`` (kill the old watcher first — one owner).
+"""
+import os
+import pathlib
+import subprocess
+import sys
+import time
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+LOG = REPO / "logs/round4_chain2.log"
+NOTES = REPO / "logs/round4_supervise.log"
+CHAIN_PID = pathlib.Path("/tmp/round4_chain2.pid")
+RELAY_PORT = 8082
+DEADLINE_S = 11.5 * 3600  # stop relaunching when the round must wrap up
+
+# terminal marker of each chain2 stage (round4_chain2.STAGES order);
+# a stage is complete iff its marker is in the log
+STAGE_DONE = [
+    "STAGE-DONE nsr-folda-final",
+    "STAGE-DONE hillr-b0-folda-final",
+    "STAGE-DONE unet-hillr-foldb",
+]
+
+
+def note(msg: str) -> None:
+    line = f"{time.strftime('%H:%M:%S')} {msg}"
+    print(line, flush=True)
+    with open(NOTES, "a") as f:
+        f.write(line + "\n")
+
+
+def chain_alive() -> bool:
+    try:
+        pid = int(CHAIN_PID.read_text().strip())
+        cmdline = pathlib.Path(f"/proc/{pid}/cmdline").read_bytes()
+    except (OSError, ValueError):
+        return False
+    return b"round4_chain2" in cmdline
+
+
+def relay_up() -> bool:
+    import socket
+    try:
+        with socket.create_connection(("127.0.0.1", RELAY_PORT), 2):
+            return True
+    except OSError:
+        return False
+
+
+def resume_index(text: str) -> int:
+    for i, marker in enumerate(STAGE_DONE):
+        if marker not in text:
+            return i
+    return len(STAGE_DONE)
+
+
+def relaunch(start: int) -> None:
+    with open(LOG, "a") as f:
+        f.write(f"--- supervisor relaunch --start {start} ---\n")
+        proc = subprocess.Popen(
+            [sys.executable, "scripts/round4_chain2.py", "--start",
+             str(start)], cwd=REPO, stdout=f, stderr=subprocess.STDOUT)
+    CHAIN_PID.write_text(str(proc.pid))
+    note(f"relaunched chain2 --start {start} (pid {proc.pid})")
+
+
+def endgame() -> int:
+    rc = subprocess.call([sys.executable, "scripts/round4_finish.py"],
+                         cwd=REPO)
+    note(f"round4_finish rc={rc}")
+    if rc == 0:
+        rc = subprocess.call([sys.executable, "scripts/round4_publish.py"],
+                             cwd=REPO)
+        note(f"round4_publish rc={rc}")
+    if rc == 0:
+        subprocess.call(["git", "add", "-A"], cwd=REPO)
+        crc = subprocess.call(
+            ["git", "commit", "-m",
+             "Holdout detection tables from the completed round-4 fold "
+             "zoo; README/PARITY quote holdout-vs-golden"], cwd=REPO)
+        note(f"commit rc={crc}")
+    bench_out = REPO / "logs/bench_r4_postchain.json"
+    with open(bench_out, "w") as f:
+        brc = subprocess.call([sys.executable, "bench.py"], cwd=REPO,
+                              stdout=f)
+    note(f"bench rc={brc} -> {bench_out.name}")
+    if brc == 0:
+        subprocess.call(["git", "add", str(bench_out)], cwd=REPO)
+        subprocess.call(["git", "commit", "-m",
+                         "Post-chain TPU bench snapshot"], cwd=REPO)
+    return rc
+
+
+def main() -> int:
+    t0 = time.time()
+    relaunches = 0
+    note("supervising the round-4 chain...")
+    while True:
+        text = LOG.read_text() if LOG.exists() else ""
+        if "CHAIN-END" in text or resume_index(text) >= len(STAGE_DONE):
+            note("chain complete; running the end-game")
+            return endgame()
+        if chain_alive():
+            time.sleep(60)
+            continue
+        if time.time() - t0 > DEADLINE_S:
+            note("deadline reached with the chain incomplete; end-game "
+                 "on what finished")
+            return endgame()
+        if relay_up():
+            if relaunches >= 20:  # crash-loop guard: salvage what ran
+                note("relaunch cap hit; end-game on what finished")
+                return endgame()
+            relaunches += 1
+            relaunch(resume_index(text))
+            time.sleep(60)
+        else:
+            time.sleep(30)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
