@@ -90,7 +90,23 @@ inline void paeth_row_bpp1(uint8_t* cur, const uint8_t* prev, size_t n) {
   }
 }
 
-int fast_png_read(const char* path, PngRaw* img) {
+// One decompressor per decode thread, reused across batches and freed
+// when the thread joins (a raw thread_local pointer would leak ~32 KB
+// per worker thread per batch, since the batch calls spawn fresh
+// std::threads every time).
+struct TlsDecompressor {
+  libdeflate_decompressor* d = libdeflate_alloc_decompressor();
+  ~TlsDecompressor() {
+    if (d) libdeflate_free_decompressor(d);
+  }
+};
+
+// expect_h/expect_w are the caller's known dimensions: they gate the
+// scanline allocation, so a corrupt/hostile IHDR claiming huge dims
+// (anything <= 2^24 passes the sanity caps) fails fast with error 2
+// instead of attempting a multi-terabyte resize.
+int fast_png_read(const char* path, PngRaw* img, int expect_h,
+                  int expect_w) {
   std::FILE* f = std::fopen(path, "rb");
   if (!f) return 1;
   std::fseek(f, 0, SEEK_END);
@@ -115,6 +131,8 @@ int fast_png_read(const char* path, PngRaw* img) {
   const uint8_t depth = buf[24], ctype = buf[25], interlace = buf[28];
   if (depth != 8 || interlace != 0 || w == 0 || h == 0) return kNotEligible;
   if (w > 1u << 24 || h > 1u << 24) return kNotEligible;
+  if (static_cast<int>(h) != expect_h || static_cast<int>(w) != expect_w)
+    return 2;  // same verdict the libpng path reaches after its probe
   int channels;
   if (ctype == 0) channels = 1;
   else if (ctype == 2) channels = 3;
@@ -151,12 +169,11 @@ int fast_png_read(const char* path, PngRaw* img) {
   img->rowbytes = 1 + stride;
   img->scan.resize(static_cast<size_t>(h) * img->rowbytes);
 
-  // one decompressor per decode thread, reused across the whole batch
-  thread_local libdeflate_decompressor* dec = libdeflate_alloc_decompressor();
-  if (!dec) return 1;
+  thread_local TlsDecompressor tls;
+  if (!tls.d) return 1;
   size_t outn = 0;
   const libdeflate_result rc = libdeflate_zlib_decompress(
-      dec, idat.data(), idat.size(), img->scan.data(), img->scan.size(),
+      tls.d, idat.data(), idat.size(), img->scan.data(), img->scan.size(),
       &outn);
   if (rc != LIBDEFLATE_SUCCESS || outn != img->scan.size())
     return kNotEligible;  // odd stream; let libpng decide
@@ -221,9 +238,8 @@ int fast_png_read(const char* path, PngRaw* img) {
 int decode_gray_one(const char* path, uint8_t* out, int h, int w) {
   {
     PngRaw img;
-    const int rc = fast_png_read(path, &img);
+    const int rc = fast_png_read(path, &img, h, w);
     if (rc == 0) {
-      if (img.h != h || img.w != w) return 2;
       if (img.channels == 1) {
         for (int y = 0; y < h; ++y)
           std::memcpy(out + static_cast<size_t>(y) * w, img.row(y), w);
@@ -278,9 +294,8 @@ int decode_gray_one(const char* path, uint8_t* out, int h, int w) {
 int decode_rgby_one(const char* path, uint8_t* out, int h, int w) {
   {
     PngRaw img;
-    const int rc = fast_png_read(path, &img);
+    const int rc = fast_png_read(path, &img, h, w);
     if (rc == 0) {
-      if (img.h != h || img.w != w) return 2;
       if (img.channels == 1) {
         for (int y = 0; y < h; ++y) {
           const uint8_t* r = img.row(y);
@@ -387,9 +402,16 @@ int ws_png_decode_gray_batch(const char** paths, int n, uint8_t* out,
     for (;;) {
       const int i = next.fetch_add(1);
       if (i >= n) return;
-      if (decode_gray_one(paths[i], out + stride * i, h, w) != 0) {
-        failures.fetch_add(1);
+      // an exception escaping a std::thread (e.g. bad_alloc on a
+      // corrupt file) would std::terminate the whole process; convert
+      // it to a per-image failure like every other decode error
+      int rc;
+      try {
+        rc = decode_gray_one(paths[i], out + stride * i, h, w);
+      } catch (...) {
+        rc = 1;
       }
+      if (rc != 0) failures.fetch_add(1);
     }
   };
 
@@ -414,9 +436,13 @@ int ws_png_decode_rgby_batch(const char** paths, int n, uint8_t* out,
     for (;;) {
       const int i = next.fetch_add(1);
       if (i >= n) return;
-      if (decode_rgby_one(paths[i], out + stride * i, h, w) != 0) {
-        failures.fetch_add(1);
+      int rc;
+      try {
+        rc = decode_rgby_one(paths[i], out + stride * i, h, w);
+      } catch (...) {
+        rc = 1;  // see decode_gray_batch: never let an exception escape
       }
+      if (rc != 0) failures.fetch_add(1);
     }
   };
 

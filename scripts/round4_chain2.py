@@ -22,7 +22,6 @@ Stages (tags match what scripts/round4_finish.py swaps):
   2 unet-hillr-foldb   l1ws HILLR UNet, covers {8,10}
 """
 import pathlib
-import socket
 import subprocess
 import sys
 import time
@@ -78,25 +77,21 @@ def stage_unet_hillr_foldb():
 STAGES = [stage_nsr_folda_cont, stage_hillr_b0_folda,
           stage_unet_hillr_foldb]
 
-RELAY_PORT = 8082  # first axon relay port (/root/.tpu_init.py PORTS)
-
-
 def wait_for_relay(timeout_s: float = 36000.0) -> bool:
     # 10h: the round-4 relay outage (19:53) had no ETA; the chain is
     # the round's critical path, so it outwaits anything short of the
-    # round itself ending
+    # round itself ending.  scripts/round4_supervise.py relaunches the
+    # chain if the relay only returns after this gate expires.
+    from wsunet_tpu.bench import _tpu_reachable  # canonical probe
     t0 = time.time()
     notified = False
     while time.time() - t0 < timeout_s:
-        try:
-            with socket.create_connection(("127.0.0.1", RELAY_PORT), 2):
-                return True
-        except OSError:
-            if not notified:
-                print("relay down; waiting for the axon tunnel...",
-                      flush=True)
-                notified = True
-            time.sleep(15)
+        if _tpu_reachable():
+            return True
+        if not notified:
+            print("relay down; waiting for the axon tunnel...", flush=True)
+            notified = True
+        time.sleep(15)
     return False
 
 

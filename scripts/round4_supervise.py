@@ -19,7 +19,8 @@ Decisions key off process liveness + markers only; stale CHAIN-ABORT
 lines from earlier gate expiries are deliberately ignored.
 
 Run: ``nohup python scripts/round4_supervise.py & echo $! >
-/tmp/round4_supervise.pid`` (kill the old watcher first — one owner).
+/tmp/round4_supervise.pid`` (exactly one supervisor at a time — it is
+the only process allowed to run the end-game / commit).
 """
 import os
 import pathlib
@@ -28,10 +29,11 @@ import sys
 import time
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
 LOG = REPO / "logs/round4_chain2.log"
 NOTES = REPO / "logs/round4_supervise.log"
 CHAIN_PID = pathlib.Path("/tmp/round4_chain2.pid")
-RELAY_PORT = 8082
 DEADLINE_S = 11.5 * 3600  # stop relaunching when the round must wrap up
 
 # terminal marker of each chain2 stage (round4_chain2.STAGES order);
@@ -60,12 +62,9 @@ def chain_alive() -> bool:
 
 
 def relay_up() -> bool:
-    import socket
-    try:
-        with socket.create_connection(("127.0.0.1", RELAY_PORT), 2):
-            return True
-    except OSError:
-        return False
+    # canonical probe (single source for the relay port / plugin logic)
+    from wsunet_tpu.bench import _tpu_reachable
+    return _tpu_reachable()
 
 
 def resume_index(text: str) -> int:

@@ -144,3 +144,45 @@ def test_fast_path_rgb_and_fallback_formats(tmp_path):
     deep.save(dp)
     got = native.decode_gray_batch([dp], threads=1)
     assert got is None or got[0].shape == (16, 16)
+
+
+def _hostile_png(path, w, h, ctype=0):
+    """Minimal PNG whose IHDR claims (w, h) — used to verify that absurd
+    header dims never drive an allocation (they crashed the process with
+    an escaped bad_alloc before the round-4 fix)."""
+    import struct
+    import zlib
+
+    def chunk(tag, data):
+        c = struct.pack(">I", len(data)) + tag + data
+        return c + struct.pack(">I", zlib.crc32(tag + data))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    idat = zlib.compress(b"\x00" * 8)
+    with open(path, "wb") as f:
+        f.write(b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) +
+                chunk(b"IDAT", idat) + chunk(b"IEND", b""))
+
+
+def test_hostile_header_dims_never_allocate(tmp_path, data_root):
+    """A corrupt/hostile IHDR claiming up-to-2^24 dims must not size any
+    buffer: as the probed first image the batch declines (PIL fallback);
+    behind a normal first image the worker fails that entry without
+    crashing or terminating the process."""
+    bad = tmp_path / "huge.png"
+    _hostile_png(bad, 1 << 24, 1 << 24)
+
+    # hostile image probed first: the batch declines outright
+    assert native.decode_gray_batch([bad], threads=1) is None
+
+    # hostile image behind a real one: per-image failure, no crash
+    good = sorted((data_root / "images").glob("*.png"))[0]
+    out = native.decode_gray_batch([good, bad], threads=2)
+    assert out is None  # failures > 0 -> caller falls back
+
+    # and the failure is masked, not fatal, end-to-end through the
+    # PIL fallback path as well
+    from wsunet_tpu.data.pipeline import _decode_many
+    from wsunet_tpu.io.imread import imread_gray_u8
+    decoded = _decode_many([good, bad], imread_gray_u8, 2)
+    assert decoded[0] is not None and decoded[1] is None

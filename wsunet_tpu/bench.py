@@ -188,10 +188,17 @@ def _tpu_reachable() -> bool:
     port is closed the first jax.devices() blocks forever instead of
     failing.  Probe it so the bench degrades to CPU with a marker
     rather than hanging the driver."""
+    import importlib.util
     import os
     import socket
-    if os.environ.get("JAX_PLATFORMS", "") != "axon":
-        return True  # not the tunneled environment; let jax decide
+    if os.environ.get("WSUNET_ASSUME_TPU") == "1":
+        return True  # escape hatch: a TPU not behind the axon relay
+    # Decide by whether the TPU plugin is installed, NOT by the env
+    # value: the axon plugin ignores a JAX_PLATFORMS=cpu override, so
+    # e.g. `JAX_PLATFORMS=cpu python bench.py` would still initialize
+    # the TPU backend and hang on a dead relay if we trusted the env.
+    if importlib.util.find_spec("libtpu") is None:
+        return True  # no TPU plugin at all; let jax pick its default
     try:
         with socket.create_connection(("127.0.0.1", 8082), 2):
             return True
@@ -303,7 +310,7 @@ def run_bench(dtype: str = "bfloat16", iters: int = 20,
     if peak:
         out["mfu"] = round(flops_per_exec * iters / dt / peak, 4)
     # single-image serving latency: the dedicated batch-1 path (serve.py
-    # — bf16 stack, donated input, fixed shape), reported with the
+    # — bf16 stack, fixed shape), reported with the
     # transport floor so the number is readable net of the tunneled axon
     # dispatch round trip (VERDICT r3 item 4)
     try:

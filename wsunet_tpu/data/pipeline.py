@@ -13,6 +13,7 @@ import concurrent.futures as _futures
 import dataclasses
 import os
 import pathlib
+import threading
 import typing
 
 import numpy as np
@@ -45,12 +46,17 @@ class Batch:
 _DECODE_CACHE: dict = {}
 _DECODE_CACHE_BYTES = 0
 _DECODE_CACHE_BUDGET = 1 << 30  # 1 GiB of decoded pixels
+# prefetch=2 call sites run two _decode_many(cache=True) workers
+# concurrently; the budget check + byte counter must be atomic or the
+# counter undercounts and the cache overruns its budget
+_DECODE_CACHE_LOCK = threading.Lock()
 
 
 def clear_decode_cache():
     global _DECODE_CACHE_BYTES
-    _DECODE_CACHE.clear()
-    _DECODE_CACHE_BYTES = 0
+    with _DECODE_CACHE_LOCK:
+        _DECODE_CACHE.clear()
+        _DECODE_CACHE_BYTES = 0
 
 
 def _decode_many(paths, reader, threads: int,
@@ -65,18 +71,27 @@ def _decode_many(paths, reader, threads: int,
     threads = max(1, min(threads, os.cpu_count() or 1))
     if cache:
         keys = [(str(p), reader.__name__) for p in paths]
-        missing = [p for p, k in zip(paths, keys) if k not in _DECODE_CACHE]
+        with _DECODE_CACHE_LOCK:
+            missing = [p for p, k in zip(paths, keys)
+                       if k not in _DECODE_CACHE]
         if missing:
+            # decode outside the lock (the expensive part); re-check
+            # under the lock so a concurrent worker that inserted the
+            # same keys is neither double-counted nor clobbered
             decoded = _decode_many(missing, reader, threads, cache=False)
-            new_bytes = sum(d.nbytes for d in decoded if d is not None)
-            if _DECODE_CACHE_BYTES + new_bytes <= _DECODE_CACHE_BUDGET:
-                for p, d in zip(missing, decoded):
-                    _DECODE_CACHE[(str(p), reader.__name__)] = d
-                _DECODE_CACHE_BYTES += new_bytes
-            else:  # over budget: serve this batch uncached
-                lookup = {(str(p), reader.__name__): d
-                          for p, d in zip(missing, decoded)}
-                return [_DECODE_CACHE.get(k, lookup.get(k)) for k in keys]
+            lookup = {(str(p), reader.__name__): d
+                      for p, d in zip(missing, decoded)}
+            with _DECODE_CACHE_LOCK:
+                fresh = {k: d for k, d in lookup.items()
+                         if k not in _DECODE_CACHE}
+                new_bytes = sum(d.nbytes for d in fresh.values()
+                                if d is not None)
+                if _DECODE_CACHE_BYTES + new_bytes <= _DECODE_CACHE_BUDGET:
+                    _DECODE_CACHE.update(fresh)
+                    _DECODE_CACHE_BYTES += new_bytes
+                else:  # over budget: serve this batch uncached
+                    return [_DECODE_CACHE.get(k, lookup.get(k))
+                            for k in keys]
         return [_DECODE_CACHE[k] for k in keys]
     native = _get_native()
     if native is not None and reader is imread_gray_u8:

@@ -67,9 +67,17 @@ def _decode_batch(paths, threads, fn_name, channels):
         h, w = probe(paths[0])
     except FileNotFoundError:
         return None
+    if h <= 0 or w <= 0 or h * w > 1 << 28:
+        # a corrupt/hostile header can claim absurd dims (libpng's probe
+        # only parses IHDR); don't size the batch buffer from it — fall
+        # back to PIL, which has its own decompression-bomb guard
+        return None
     shape = (len(paths), h, w) if channels == 1 else \
         (len(paths), h, w, channels)
-    out = np.empty(shape, dtype=np.uint8)
+    try:
+        out = np.empty(shape, dtype=np.uint8)
+    except MemoryError:
+        return None
     c_paths = (ctypes.c_char_p * len(paths))(
         *[str(p).encode() for p in paths])
     failures = getattr(lib, fn_name)(

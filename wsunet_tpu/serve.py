@@ -7,7 +7,6 @@ traffic and dispatch over batch 128; served one image at a time it pays
 - bfloat16 compute (native MXU path; the WS reduction stays f32 — the
   predictor feeding a change-rate estimate must not lose mantissa in the
   residual, so only the conv stack runs bf16),
-- donated input buffer (no HBM copy per request),
 - no dead transforms: the eval path's center-crop/resize plumbing is
   ahead-of-time specialized to the fixed serving shape,
 - weights resident in HBM across requests (closure captures, no
@@ -56,7 +55,11 @@ class UNetWSServer:
             beta, l1 = ws_estimate_unet(x, x_hat)
             return beta[0], l1[0]
 
-        self._step = jax.jit(_step, donate_argnums=0)
+        # no donate_argnums: the uint8 input cannot alias the two f32
+        # scalar outputs, so donation would be a no-op (XLA warns
+        # "donated buffers were not usable") — the per-request transfer
+        # is the unavoidable 256 KB input itself
+        self._step = jax.jit(_step)
         # warm the cache at the serving shape so first request is fast
         jax.block_until_ready(
             self._step(jnp.zeros((1, size, size), jnp.uint8)))
