@@ -1,0 +1,66 @@
+"""The supervisor's resume decision guards hours of TPU training: a
+wrong index either re-trains a finished stage or skips an unfinished
+one.  Pin the marker parsing against real chain-log shapes."""
+import importlib.util
+import pathlib
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+
+
+def _mod():
+    spec = importlib.util.spec_from_file_location(
+        "round4_supervise", REPO / "scripts/round4_supervise.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_resume_index_walks_terminal_markers():
+    m = _mod()
+    assert m.resume_index("") == 0
+    assert m.resume_index("relay down; waiting for the axon tunnel...") == 0
+    # mid-stage death: s2/s3 done but the stage's terminal marker absent
+    partial = ("STAGE-START 0 stage_nsr_folda_cont\n"
+               "STAGE-DONE nsr-folda-s2: 2608...\n"
+               "STAGE-DONE nsr-folda-s3: 2608...\n")
+    assert m.resume_index(partial) == 0
+    done0 = partial + "STAGE-DONE nsr-folda-recal: x\n" \
+                      "STAGE-DONE nsr-folda-final: x\n"
+    assert m.resume_index(done0) == 1
+    done1 = done0 + "STAGE-DONE hillr-b0-folda-final: x\n"
+    assert m.resume_index(done1) == 2
+    done2 = done1 + "STAGE-DONE unet-hillr-foldb: x\n"
+    assert m.resume_index(done2) == len(m.STAGE_DONE)
+    # stale CHAIN-ABORT lines from an expired gate must not matter
+    assert m.resume_index("CHAIN-ABORT x: relay never came back\n"
+                          + done1) == 2
+
+
+def test_stage_markers_match_chain2_stages():
+    """The marker list must stay in sync with round4_chain2.STAGES —
+    a renamed stage would make the supervisor re-run finished work."""
+    m = _mod()
+    spec = importlib.util.spec_from_file_location(
+        "round4_chain2", REPO / "scripts/round4_chain2.py")
+    chain = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(chain)
+    assert len(m.STAGE_DONE) == len(chain.STAGES)
+    # each terminal marker's tag appears in its stage's source
+    import inspect
+    for marker, stage in zip(m.STAGE_DONE, chain.STAGES):
+        tag = marker.split()[1].rstrip(":")
+        src = inspect.getsource(stage)
+        assert tag.split("-final")[0].split("-s2")[0] in src or \
+            tag in src, (marker, stage.__name__)
+
+
+def test_chain_alive_rejects_recycled_pid(tmp_path, monkeypatch):
+    m = _mod()
+    pidfile = tmp_path / "chain.pid"
+    monkeypatch.setattr(m, "CHAIN_PID", pidfile)
+    assert not m.chain_alive()  # no pid file
+    pidfile.write_text("garbage")
+    assert not m.chain_alive()  # unparsable
+    import os
+    pidfile.write_text(str(os.getpid()))  # live pid, wrong cmdline
+    assert not m.chain_alive()
