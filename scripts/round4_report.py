@@ -34,6 +34,12 @@ def _canon(name: str) -> str:
     return re.sub(r"_(mix)?[0-9][0-9.\-]*$", "", name)
 
 
+def _fmt_ci(lo, hi) -> str:
+    if pd.isna(lo) or pd.isna(hi):
+        return "-"
+    return f"[{lo:.2f}, {hi:.2f}]"
+
+
 def render(csv: pathlib.Path, golden: pathlib.Path = GOLDEN) -> str:
     ours = pd.read_csv(csv)
     gold = pd.read_csv(golden)
@@ -43,14 +49,27 @@ def render(csv: pathlib.Path, golden: pathlib.Path = GOLDEN) -> str:
     m = ours.merge(gold[["stego_method", "model_name", "auc_gold",
                          "p_e_gold"]],
                    on=["stego_method", "model_name"], how="outer")
+    # bootstrap CI sidecar (written by detect.holdout.holdout_roc);
+    # rendered when present so the small-n uncertainty is visible in
+    # the published table, not just in results/
+    ci_csv = csv.with_name(csv.stem + "_ci.csv")
+    have_ci = ci_csv.exists()
+    if have_ci:
+        ci = pd.read_csv(ci_csv)
+        ci["model_name"] = ci["model_name"].map(_canon)
+        m = m.merge(ci[["stego_method", "model_name", "auc_lo", "auc_hi"]],
+                    on=["stego_method", "model_name"], how="left")
     m = m.sort_values(["stego_method", "model_name"])
-    lines = ["| method | detector | AUC (holdout) | P_E (holdout) | "
-             "AUC (golden) | P_E (golden) |",
-             "|---|---|---|---|---|---|"]
+    auc_ci_col = " AUC 95% CI |" if have_ci else ""
+    lines = [f"| method | detector | AUC (holdout) |{auc_ci_col} "
+             "P_E (holdout) | AUC (golden) | P_E (golden) |",
+             "|---|---|---|" + ("---|" if have_ci else "") + "---|---|---|"]
     for _, r in m.iterrows():
+        ci_cell = (f" {_fmt_ci(r.get('auc_lo'), r.get('auc_hi'))} |"
+                   if have_ci else "")
         lines.append(
             f"| {r.stego_method} | {r.model_name} | {_fmt(r.get('auc'))} "
-            f"| {_fmt(r.get('p_e'))} | {_fmt(r.get('auc_gold'))} "
+            f"|{ci_cell} {_fmt(r.get('p_e'))} | {_fmt(r.get('auc_gold'))} "
             f"| {_fmt(r.get('p_e_gold'))} |")
     return "\n".join(lines)
 

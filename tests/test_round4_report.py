@@ -26,3 +26,23 @@ def test_render_marks_rows_without_golden():
     # our HILLR detector rows have no reference counterpart -> dashes
     assert hillr and all(l.rstrip("|").rstrip().endswith("| -") or
                          "| - |" in l for l in hillr)
+
+
+def test_render_adds_ci_column_when_sidecar_exists(tmp_path):
+    import shutil
+    src = REPO / "results/detection/auc_0.01_holdout.csv"
+    ci = REPO / "results/detection/auc_0.01_holdout_ci.csv"
+    # without the sidecar: no CI column
+    shutil.copy(src, tmp_path / "auc.csv")
+    md = render(tmp_path / "auc.csv")
+    assert "AUC 95% CI" not in md
+    # with it: the column renders, and a degenerate perfect separator
+    # shows a collapsed interval
+    shutil.copy(ci, tmp_path / "auc_ci.csv")
+    md = render(tmp_path / "auc.csv")
+    assert "AUC 95% CI" in md.splitlines()[0]
+    kbw = next(l for l in md.splitlines()
+               if l.startswith("| LSBR | KB-w |"))
+    assert "[1.00, 1.00]" in kbw
+    # header and separator column counts agree
+    assert md.splitlines()[0].count("|") == md.splitlines()[1].count("|")

@@ -148,6 +148,11 @@ def holdout_roc(
         outdir = pathlib.Path(results_dir) / "detection"
         outdir.mkdir(parents=True, exist_ok=True)
         df_auc.to_csv(outdir / f"auc_{alpha}_{suffix}.csv", index=False)
+        # bootstrap uncertainty for the published point estimates (the
+        # table is small-n by design; detect/ci.py quantifies it)
+        from .ci import bootstrap_roc_cis
+        bootstrap_roc_cis(scores).to_csv(
+            outdir / f"auc_{alpha}_{suffix}_ci.csv", index=False)
         pivot = df_roc.pivot(index=["tau"],
                              columns=["stego_method", "model_name"],
                              values=["tpr", "fpr"])

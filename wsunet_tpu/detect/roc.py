@@ -31,6 +31,18 @@ def _roc_curve_manual(y_hat: np.ndarray, y: np.ndarray):
     return taus, tpr, fpr
 
 
+def scores_and_labels(df_i: pd.DataFrame, model_name: str):
+    """Detector scores + soft labels for one (method, model) group —
+    the reference's convention (src/ws/roc.py:216-224): B0 detectors
+    (identified by 'B0' in the name) score with their softmax column,
+    WS detectors with clipped beta_hat; labels are alpha (B0) or
+    alpha/2 (WS) so y > 0 marks stego rows either way."""
+    if "B0" in model_name:
+        return df_i["score"].to_numpy(), df_i["alpha"].to_numpy()
+    return (np.clip(df_i["beta_hat"].to_numpy(), 0, None),
+            df_i["alpha"].to_numpy() / 2)
+
+
 def produce_roc(df_ws: pd.DataFrame) -> pd.DataFrame:
     """Build per-detector ROC tables from a sweep result frame."""
     out = []
@@ -41,12 +53,7 @@ def produce_roc(df_ws: pd.DataFrame) -> pd.DataFrame:
         df_i = df_ws[df_ws["model_name"] == model_name]
         df_i = df_i[df_i["stego_method"].isin([stego_method, "Cover"])]
 
-        if "B0" in model_name:
-            y_hat = df_i["score"].to_numpy()
-            y = df_i["alpha"].to_numpy()
-        else:
-            y_hat = np.clip(df_i["beta_hat"].to_numpy(), 0, None)
-            y = df_i["alpha"].to_numpy() / 2
+        y_hat, y = scores_and_labels(df_i, model_name)
 
         taus, tpr, fpr = _roc_curve_manual(y_hat, y)
 
