@@ -39,3 +39,38 @@ def test_measure_latency_reports_floor():
                         "latency_ms_b1_net"}
     assert out["latency_ms_b1"] > 0
     assert out["latency_ms_b1_net"] <= out["latency_ms_b1"]
+
+
+def test_cli_serve_roundtrip(tmp_path, capsys):
+    """`wsunet_tpu serve` round-trip on the committed fixture model: one
+    JSON line per input, per-image errors inline, loop never aborts."""
+    import json
+    import numpy as np
+    from PIL import Image
+    from wsunet_tpu.cli import main as cli_main
+    from wsunet_tpu.io.imread import imread_gray_u8
+
+    src = imread_gray_u8("/root/reference/data/images/6.png")
+    p = tmp_path / "crop64.png"
+    Image.fromarray(src[:64, :64].astype(np.uint8), mode="L").save(p)
+
+    rc = cli_main(["serve", str(p), str(tmp_path / "missing.png"),
+                   "--size", "64", "--dtype", "float32"])
+    assert rc == 0
+    lines = [json.loads(l) for l in
+             capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 2
+    assert lines[0]["name"] == str(p)
+    assert np.isfinite(lines[0]["beta_hat"])
+    assert np.isfinite(lines[0]["l1"])
+    assert "error" in lines[1] and "beta_hat" not in lines[1]
+
+
+def test_cli_serve_shape_mismatch_reports_not_crashes(tmp_path, capsys):
+    import json
+    from wsunet_tpu.cli import main as cli_main
+    rc = cli_main(["serve", "/root/reference/data/images/6.png",
+                   "--size", "64", "--dtype", "float32"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert "512x512" in out["error"] and "--size" in out["error"]

@@ -17,6 +17,7 @@ script per analysis) as subcommands of a single typed CLI:
     python -m wsunet_tpu init-dataset   (new: catalog any cover folder)
     python -m wsunet_tpu simulate       (new: generate stego fixtures)
     python -m wsunet_tpu bench          (new: throughput benchmark)
+    python -m wsunet_tpu serve          (new: batch-1 serving loop)
 """
 
 import argparse
@@ -152,6 +153,21 @@ def build_parser() -> argparse.ArgumentParser:
     _common(p)
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--iters", type=int, default=20)
+
+    p = sub.add_parser(
+        "serve", help="single-image WS estimation loop (batch-1 path)")
+    p.add_argument("images", nargs="*", type=pathlib.Path,
+                   help="image paths; with none given, one path per "
+                        "stdin line (an interactive/pipe server loop)")
+    p.add_argument("--model-dir", type=pathlib.Path,
+                   default=pathlib.Path("models/unet"))
+    p.add_argument("--train-method", default="LSBR")
+    p.add_argument("--size", type=int, default=512,
+                   help="served image height/width (one compiled shape)")
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--measure-latency", action="store_true",
+                   help="print the latency report (median, transport "
+                        "floor, net) and exit")
 
     return ap
 
@@ -300,6 +316,57 @@ def _dispatch(args):
         print(json.dumps(run_bench(dtype=args.dtype, iters=args.iters,
                                    batch_size=args.batch_size)))
 
+    elif cmd == "serve":
+        return _cmd_serve(args)
+
+    return 0
+
+
+def _cmd_serve(args):
+    """One-image-at-a-time WS estimation over the dedicated batch-1
+    serving path (serve.UNetWSServer): one JSON line per image on
+    stdout ({"name", "beta_hat", "l1"}); per-image failures are
+    reported inline ({"name", "error"}) without stopping the loop, so
+    the process can sit behind a pipe indefinitely.  The reference has
+    no serving story at all — its evaluate scripts are batch sweeps."""
+    import sys as _sys
+
+    import jax.numpy as jnp
+
+    from .io.imread import imread_gray_u8
+    from .serve import UNetWSServer, measure_latency
+    from .utils.registry import get_model_name
+    from .ws.unet_eval import load_pretrained_unet
+
+    name = get_model_name(args.model_dir, args.train_method)
+    model, variables, _ = load_pretrained_unet(
+        args.model_dir / args.train_method, name,
+        compute_dtype=jnp.dtype(args.dtype))
+    print(f"serve: {args.train_method}/{name} at "
+          f"{args.size}x{args.size} ({args.dtype})", file=_sys.stderr)
+    server = UNetWSServer(model, variables, size=args.size,
+                          compute_dtype=jnp.dtype(args.dtype))
+    if args.measure_latency:
+        print(json.dumps(measure_latency(server)))
+        return 0
+
+    paths = ([str(p) for p in args.images] if args.images
+             else (line.strip() for line in _sys.stdin))
+    for path in paths:
+        if not path:
+            continue
+        try:
+            img = imread_gray_u8(path)
+            if img.shape != (args.size, args.size):
+                raise ValueError(
+                    f"expected {args.size}x{args.size}, got "
+                    f"{img.shape[0]}x{img.shape[1]} (one compiled "
+                    "serving shape; restart with --size to change)")
+            beta, l1 = server.predict(img)
+            out = {"name": path, "beta_hat": beta, "l1": l1}
+        except (OSError, ValueError) as e:
+            out = {"name": path, "error": str(e)}
+        print(json.dumps(out), flush=True)
     return 0
 
 
