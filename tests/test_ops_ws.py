@@ -88,3 +88,19 @@ def test_ws_weights_normalized(data_root):
     x = imread_gray_u8(data_root / "images" / "9.png").astype("float32")
     w = np.asarray(ws_weights(jnp.asarray(x[None]), weighted=1))
     np.testing.assert_allclose(w.sum(), 1.0, rtol=1e-5)
+
+
+@pytest.mark.parametrize("shape", [(33, 47), (64, 31), (129, 257)])
+@pytest.mark.parametrize("weighted", [0, 1])
+def test_ws_attack_oracle_fuzz_odd_shapes(shape, weighted):
+    """The weighted estimate (the KB-w headline detector) must match the
+    oracle on non-square / odd dims, not just the 512x512 fixtures —
+    SAME-vs-VALID window bookkeeping errors only show up off the happy
+    shape."""
+    rng = np.random.default_rng(sum(shape) + weighted)
+    x = rng.integers(0, 256, shape, dtype=np.uint8)
+    want = _numpy_ws_attack(x, NAMED_FILTERS_2D["KB"], weighted=weighted)
+    got = np.asarray(ws_attack(
+        jnp.asarray(x[None]), pixel_kernel=NAMED_FILTERS_2D["KB"],
+        weighted=weighted))[0]
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-6)
