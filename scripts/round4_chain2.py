@@ -37,6 +37,20 @@ NSR_FOLDA_S2_PART = ("260817193119-tpu-b0-nostride-alpha_mix0.1-0.05-0.01"
                      "_grayscale_crossentropy_lr_0.0001_dr_0.2")
 
 
+def _done_marker(tag: str):
+    """Experiment name recorded by an earlier STAGE-DONE line in this
+    chain's log, or None.  Lets a supervisor relaunch after a mid-stage
+    death skip hours of finished sub-stages instead of re-training
+    them (the stage functions key their hand-offs on these names)."""
+    log = REPO / "logs/round4_chain2.log"
+    if not log.exists():
+        return None
+    for line in reversed(log.read_text().splitlines()):
+        if line.startswith(f"STAGE-DONE {tag}: "):
+            return line.split(": ", 1)[1].strip()
+    return None
+
+
 def stage_nsr_folda_cont():
     from scripts.round2_train_b0 import COMMON, NSR
     from scripts.round3_chain import (FOLD_A, FULLRES, _recalibrate,
@@ -44,15 +58,17 @@ def stage_nsr_folda_cont():
     tag = "nsr-folda"
     base = {**COMMON, **NSR, **FOLD_A, "select_metric": "last",
             "stego_method": "LSBR"}
-    s2 = _train_b0({**base, "alpha": [0.1, 0.05, 0.01],
-                    "val_alpha": [0.1, 0.05, 0.01], "num_epochs": 25,
-                    "learning_rate": 1e-4, "resume": NSR_FOLDA_S2_PART})
+    s2 = _done_marker(f"{tag}-s2") or _train_b0(
+        {**base, "alpha": [0.1, 0.05, 0.01],
+         "val_alpha": [0.1, 0.05, 0.01], "num_epochs": 25,
+         "learning_rate": 1e-4, "resume": NSR_FOLDA_S2_PART})
     print(f"STAGE-DONE {tag}-s2: {s2}", flush=True)
-    s3 = _train_b0({**base, **FULLRES, "alpha": [0.1, 0.05, 0.01],
-                    "val_alpha": [0.1, 0.05, 0.01], "num_epochs": 15,
-                    "learning_rate": 3e-5, "resume": s2})
+    s3 = _done_marker(f"{tag}-s3") or _train_b0(
+        {**base, **FULLRES, "alpha": [0.1, 0.05, 0.01],
+         "val_alpha": [0.1, 0.05, 0.01], "num_epochs": 15,
+         "learning_rate": 3e-5, "resume": s2})
     print(f"STAGE-DONE {tag}-s3: {s3}", flush=True)
-    recal = _recalibrate("LSBR", s3)
+    recal = _done_marker(f"{tag}-recal") or _recalibrate("LSBR", s3)
     print(f"STAGE-DONE {tag}-recal: {recal}", flush=True)
     final = _train_b0({**base, **FULLRES, "freeze_bn": True,
                        "alpha": [0.1, 0.05, 0.01],

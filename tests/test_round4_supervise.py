@@ -64,3 +64,24 @@ def test_chain_alive_rejects_recycled_pid(tmp_path, monkeypatch):
     import os
     pidfile.write_text(str(os.getpid()))  # live pid, wrong cmdline
     assert not m.chain_alive()
+
+
+def test_chain2_done_marker_resumes_substages(tmp_path, monkeypatch):
+    """A supervisor relaunch must recover finished sub-stage hand-off
+    names from the log instead of re-training them."""
+    spec = importlib.util.spec_from_file_location(
+        "round4_chain2_t", REPO / "scripts/round4_chain2.py")
+    chain = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(chain)
+    monkeypatch.setattr(chain, "REPO", tmp_path)
+    assert chain._done_marker("nsr-folda-s2") is None  # no log yet
+    log = tmp_path / "logs"
+    log.mkdir()
+    (log / "round4_chain2.log").write_text(
+        "STAGE-START 0 stage_nsr_folda_cont\n"
+        "STAGE-DONE nsr-folda-s2: 260818-run-a\n"
+        "STAGE-DONE nsr-folda-s2: 260818-run-b\n"  # latest wins
+        "STAGE-DONE nsr-folda-recal: 260818-run-c\n")
+    assert chain._done_marker("nsr-folda-s2") == "260818-run-b"
+    assert chain._done_marker("nsr-folda-s3") is None
+    assert chain._done_marker("nsr-folda-recal") == "260818-run-c"
