@@ -69,6 +69,14 @@ def test_holdout_roc_writes_artifacts(frames, tmp_path):
     assert (out / "roc_0.01_t.csv").exists()
     assert (out / "scores_t.csv").exists()
     assert {"stego_method", "model_name", "auc", "p_e"} <= set(df.columns)
+    # bootstrap-CI sidecar: one row per published detector row, and each
+    # point estimate must sit inside its own interval
+    import pandas as pd
+    ci = pd.read_csv(out / "auc_0.01_t_ci.csv")
+    merged = df.merge(ci, on=["stego_method", "model_name"])
+    assert len(merged) == len(df)
+    assert ((merged["auc"] >= merged["auc_lo"] - 1e-12) &
+            (merged["auc"] <= merged["auc_hi"] + 1e-12)).all()
 
 
 def test_b0_entry_scan_excludes_non_last_selection(tmp_path):
