@@ -120,11 +120,15 @@ def _newest_final(method="LSBR", fold_tr=None, nsr=True):
     return runs[-1]
 
 
-def hillr_finetune(fold, tag):
+def hillr_finetune(fold, tag, done=lambda tag: None):
     """HILLR-trained detector (VERDICT item 9): fine-tune the fold's
     LSBR nsr detector on HILLr embeddings (rate mixture), then freeze-BN
     polish.  The resume checkpoint is copied into the HILLR family dir
-    because train_b0 resolves resumes within its own stego_method."""
+    because train_b0 resolves resumes within its own stego_method.
+
+    ``done``: optional tag -> finished experiment name lookup (e.g.
+    round4_chain2._done_marker) so a supervisor relaunch after a
+    mid-stage death skips the hours-long finished sub-stages."""
     parent = _newest_final("LSBR", fold["tr_csv"], nsr=True)
     src = B0_OUT / "LSBR" / parent
     dst = B0_OUT / "HILLR" / parent
@@ -133,15 +137,17 @@ def hillr_finetune(fold, tag):
         shutil.copytree(src, dst)
     base = {**COMMON, **NSR, **fold, "select_metric": "last",
             "stego_method": "HILLR"}
-    s1 = _train_b0({**base, "alpha": [0.4, 0.2, 0.1], "val_alpha": [0.1],
-                    "num_epochs": 15, "learning_rate": 1e-4,
-                    "resume": parent})
+    s1 = done(f"{tag}-s1") or _train_b0(
+        {**base, "alpha": [0.4, 0.2, 0.1], "val_alpha": [0.1],
+         "num_epochs": 15, "learning_rate": 1e-4, "resume": parent})
     print(f"STAGE-DONE {tag}-s1: {s1}", flush=True)
-    s2 = _train_b0({**base, "alpha": [0.1, 0.05, 0.01],
-                    "val_alpha": [0.1, 0.05, 0.01], "num_epochs": 20,
-                    "learning_rate": 5e-5, "resume": s1})
+    s2 = done(f"{tag}-s2") or _train_b0(
+        {**base, "alpha": [0.1, 0.05, 0.01],
+         "val_alpha": [0.1, 0.05, 0.01], "num_epochs": 20,
+         "learning_rate": 5e-5, "resume": s1})
     print(f"STAGE-DONE {tag}-s2: {s2}", flush=True)
-    recal = _recalibrate("HILLR", s2)
+    recal = done(f"{tag}-recal") or _recalibrate("HILLR", s2)
+    print(f"STAGE-DONE {tag}-recal: {recal}", flush=True)
     final = _train_b0({**base, **FULLRES, "freeze_bn": True,
                        "alpha": [0.1, 0.05, 0.01],
                        "val_alpha": [0.1, 0.05, 0.01], "num_epochs": 8,

@@ -79,7 +79,7 @@ def stage_nsr_folda_cont():
 
 def stage_hillr_b0_folda():
     from scripts.round3_chain import FOLD_A, hillr_finetune
-    hillr_finetune(FOLD_A, "hillr-b0-folda")
+    hillr_finetune(FOLD_A, "hillr-b0-folda", done=_done_marker)
 
 
 def stage_unet_hillr_foldb():

@@ -331,6 +331,17 @@ def _cmd_serve(args):
     no serving story at all — its evaluate scripts are batch sweeps."""
     import sys as _sys
 
+    # guard the jax init like bench/__graft_entry__: with the axon relay
+    # down, jax.devices() blocks forever instead of failing
+    from .bench import _tpu_reachable
+    import jax
+    if not _tpu_reachable():
+        print("serve: TPU relay unreachable; serving on CPU",
+              file=_sys.stderr)
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass  # backend already initialized (e.g. under pytest)
     import jax.numpy as jnp
 
     from .io.imread import imread_gray_u8
@@ -364,8 +375,12 @@ def _cmd_serve(args):
                     "serving shape; restart with --size to change)")
             beta, l1 = server.predict(img)
             out = {"name": path, "beta_hat": beta, "l1": l1}
-        except (OSError, ValueError) as e:
-            out = {"name": path, "error": str(e)}
+        except Exception as e:  # noqa: BLE001 — the loop's contract is
+            # "never aborts": a mid-stream transport error (XlaRuntime-
+            # Error when the relay drops) must surface as an inline
+            # error line, not kill the queued images behind the pipe
+            out = {"name": path,
+                   "error": f"{type(e).__name__}: {str(e)[:300]}"}
         print(json.dumps(out), flush=True)
     return 0
 

@@ -21,17 +21,16 @@ over resamples via per-image multinomial counts, so 10k resamples of a
 import numpy as np
 import pandas as pd
 
-from .roc import scores_and_labels
+from .roc import TAUS, iter_detector_groups, scores_and_labels
 
 N_BOOT = 10_000
 SEED = 20_260_818  # deterministic: committed artifacts must reproduce
 
 
 def _grid_indicators(y_hat: np.ndarray) -> np.ndarray:
-    """[N, 501] strictly-greater threshold indicators, float64 — the
-    same tau grid as detect.roc._roc_curve_manual."""
-    taus = np.linspace(0, 1, 501, endpoint=True)[::-1]
-    return (y_hat[:, None] > taus[None, :]).astype(np.float64)
+    """[N, 501] strictly-greater threshold indicators, float64, on the
+    exact grid the published point estimates use (detect.roc.TAUS)."""
+    return (y_hat[:, None] > TAUS[None, :]).astype(np.float64)
 
 
 def _counts(rng, n_boot: int, n: int) -> np.ndarray:
@@ -95,12 +94,7 @@ def bootstrap_roc_cis(df_ws: pd.DataFrame, n_boot: int = N_BOOT,
     """Per-(stego_method, model_name) CI table for a sweep result frame
     (the same grouping and score conventions as produce_roc)."""
     out = []
-    for (stego_method, model_name), _ in df_ws.groupby(
-            ["stego_method", "model_name"]):
-        if stego_method == "Cover":
-            continue
-        df_i = df_ws[df_ws["model_name"] == model_name]
-        df_i = df_i[df_i["stego_method"].isin([stego_method, "Cover"])]
+    for stego_method, model_name, df_i in iter_detector_groups(df_ws):
         y_hat, y = scores_and_labels(df_i, model_name)
         row = {"stego_method": stego_method, "model_name": model_name}
         row.update(bootstrap_auc_pe(y_hat, y, n_boot=n_boot, seed=seed,

@@ -17,8 +17,29 @@ import pandas as pd
 from .metrics import PMD5FPMeter, wAUCMeter
 
 
+# the reference's threshold grid (src/ws/roc.py:236): shared with the
+# bootstrap-CI module so the intervals are computed on the exact grid
+# the published point estimates use
+TAUS = np.linspace(0, 1, 501, endpoint=True)[::-1]
+
+
+def iter_detector_groups(df_ws: pd.DataFrame):
+    """(stego_method, model_name, group frame) triples — one per
+    detector row of the published tables.  Each group holds that
+    model's rows for the method plus ALL cover rows; shared by
+    produce_roc and the CI module so they condition on identical
+    data."""
+    for (stego_method, model_name), _ in df_ws.groupby(
+            ["stego_method", "model_name"]):
+        if stego_method == "Cover":
+            continue
+        df_i = df_ws[df_ws["model_name"] == model_name]
+        yield (stego_method, model_name,
+               df_i[df_i["stego_method"].isin([stego_method, "Cover"])])
+
+
 def _roc_curve_manual(y_hat: np.ndarray, y: np.ndarray):
-    taus = np.linspace(0, 1, 501, endpoint=True)[::-1]
+    taus = TAUS
     pos = y > 0.0
     neg = ~pos
     above = y_hat[None, :] > taus[:, None]  # [501, N]
@@ -46,13 +67,7 @@ def scores_and_labels(df_i: pd.DataFrame, model_name: str):
 def produce_roc(df_ws: pd.DataFrame) -> pd.DataFrame:
     """Build per-detector ROC tables from a sweep result frame."""
     out = []
-    for (stego_method, model_name), _ in df_ws.groupby(
-            ["stego_method", "model_name"]):
-        if stego_method == "Cover":
-            continue
-        df_i = df_ws[df_ws["model_name"] == model_name]
-        df_i = df_i[df_i["stego_method"].isin([stego_method, "Cover"])]
-
+    for stego_method, model_name, df_i in iter_detector_groups(df_ws):
         y_hat, y = scores_and_labels(df_i, model_name)
 
         taus, tpr, fpr = _roc_curve_manual(y_hat, y)
