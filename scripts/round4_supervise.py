@@ -124,6 +124,12 @@ def main() -> int:
             time.sleep(60)
             continue
         if time.time() - t0 > DEADLINE_S:
+            if not any(m in text for m in STAGE_DONE):
+                # nothing new finished: a regen would re-derive the
+                # committed results and could hold the TPU exactly when
+                # the driver's round-end bench needs it
+                note("deadline; no new stage finished — no end-game")
+                return 0
             note("deadline reached with the chain incomplete; end-game "
                  "on what finished")
             return endgame()
