@@ -15,10 +15,14 @@ sys.path.insert(0, str(REPO))
 DATA = "/root/reference/data"
 
 
-def main():
+def main(results_dir=None):
+    """Regenerate into ``results_dir`` (default: the committed
+    results/).  An out-of-tree dir gives a non-destructive end-to-end
+    validation: regenerate to a temp dir, diff against the committed
+    artifacts."""
     from wsunet_tpu.cli import main as cli
 
-    results = str(REPO / "results")
+    results = str(results_dir or REPO / "results")
     unet_dir = str(REPO / "models/unet")
     b0_dir = str(REPO / "models/b0")
 
@@ -70,7 +74,7 @@ def main():
         print("\n$ python scripts/round3_holdout.py", flush=True)
         try:
             from scripts.round3_holdout import main as holdout_main
-            holdout_main()
+            holdout_main(results_dir=pathlib.Path(results))
         except Exception as e:
             print(f"FAILED: {type(e).__name__}: {e}", flush=True)
             failures.append(("holdout", str(e)))
@@ -81,4 +85,7 @@ def main():
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    out = None
+    if "--results" in sys.argv:
+        out = pathlib.Path(sys.argv[sys.argv.index("--results") + 1])
+    raise SystemExit(main(results_dir=out))
