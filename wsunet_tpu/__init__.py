@@ -13,7 +13,9 @@ uibk-uncover/ws-unet (reference layout documented in SURVEY.md):
 Unlike the reference (per-image CPU callbacks fanned out with joblib), every
 compute path here is batched, jitted and mesh-shardable: images stream
 HBM-resident through fused Pallas kernels / XLA convs, and multi-chip
-scaling is plain data parallelism over a 1-D ``jax.sharding.Mesh``.
+scaling rides a ``jax.sharding.Mesh`` — batch data-parallelism as the
+primary axis plus spatial sharding of the image grid (manual ppermute
+halo exchange for WS, XLA auto-partitioned convs) as the second.
 """
 
 __version__ = "0.1.0"
