@@ -35,6 +35,13 @@ LOG = REPO / "logs/round4_chain2.log"
 NOTES = REPO / "logs/round4_supervise.log"
 CHAIN_PID = pathlib.Path("/tmp/round4_chain2.pid")
 DEADLINE_S = 11.5 * 3600  # stop relaunching when the round must wrap up
+# Absolute cutoff (2026-08-18 13:30 UTC, ~round end minus margin): the
+# TPU is exclusive to one process, so a chain still training when the
+# driver's round-end bench runs would block the BENCH_r04 measurement
+# behind hours of training.  Kill the chain tree instead — every
+# sub-stage checkpoints continuously and resumes from log markers, so
+# round 5 loses nothing — and salvage what finished.
+CHAIN_CUTOFF_EPOCH = 1_787_059_800
 
 # terminal marker of each chain2 stage (round4_chain2.STAGES order);
 # a stage is complete iff its marker is in the log
@@ -65,6 +72,33 @@ def relay_up() -> bool:
     # canonical probe (single source for the relay port / plugin logic)
     from wsunet_tpu.bench import _tpu_reachable
     return _tpu_reachable()
+
+
+def kill_chain_tree() -> None:
+    """SIGTERM the chain runner and its stage subprocess (the runner is
+    not a session leader, so walk /proc for its children first)."""
+    import signal
+    try:
+        pid = int(CHAIN_PID.read_text().strip())
+    except (OSError, ValueError):
+        return
+    victims = []
+    for p in pathlib.Path("/proc").iterdir():
+        if not p.name.isdigit():
+            continue
+        try:
+            stat = (p / "stat").read_text()
+            ppid = int(stat.rsplit(")", 1)[1].split()[1])
+        except (OSError, IndexError, ValueError):
+            continue
+        if ppid == pid:
+            victims.append(int(p.name))
+    for victim in victims + [pid]:
+        try:
+            os.kill(victim, signal.SIGTERM)
+            note(f"killed {victim}")
+        except OSError:
+            pass
 
 
 def resume_index(text: str) -> int:
@@ -117,6 +151,17 @@ def main() -> int:
     note("supervising the round-4 chain...")
     while True:
         text = LOG.read_text() if LOG.exists() else ""
+        if time.time() > CHAIN_CUTOFF_EPOCH and chain_alive():
+            note("round-end cutoff: killing the chain tree so the "
+                 "driver's bench gets a free chip (stages resume from "
+                 "markers next round)")
+            kill_chain_tree()
+            time.sleep(10)
+            if any(m in text for m in STAGE_DONE):
+                note("cutoff end-game on what finished")
+                return endgame()
+            note("cutoff; nothing new finished — no end-game")
+            return 0
         if "CHAIN-END" in text or resume_index(text) >= len(STAGE_DONE):
             note("chain complete; running the end-game")
             return endgame()
@@ -133,6 +178,13 @@ def main() -> int:
             note("deadline reached with the chain incomplete; end-game "
                  "on what finished")
             return endgame()
+        if time.time() > CHAIN_CUTOFF_EPOCH:
+            # chain already dead and past cutoff: no new training starts
+            if any(m in text for m in STAGE_DONE):
+                note("cutoff end-game on what finished")
+                return endgame()
+            note("cutoff; nothing new finished — no end-game")
+            return 0
         if relay_up():
             if relaunches >= 20:  # crash-loop guard: salvage what ran
                 note("relaunch cap hit; end-game on what finished")
