@@ -35,13 +35,16 @@ LOG = REPO / "logs/round4_chain2.log"
 NOTES = REPO / "logs/round4_supervise.log"
 CHAIN_PID = pathlib.Path("/tmp/round4_chain2.pid")
 DEADLINE_S = 11.5 * 3600  # stop relaunching when the round must wrap up
-# Absolute cutoff (2026-08-18 13:30 UTC, ~round end minus margin): the
+# Absolute cutoff (2026-08-18 16:15 UTC, ~round end minus margin): the
 # TPU is exclusive to one process, so a chain still training when the
 # driver's round-end bench runs would block the BENCH_r04 measurement
 # behind hours of training.  Kill the chain tree instead — every
 # sub-stage checkpoints continuously and resumes from log markers, so
 # round 5 loses nothing — and salvage what finished.
-CHAIN_CUTOFF_EPOCH = 1_787_059_800
+# (Was 13:30: the 2026-08-18 05:12 session restart came with a fresh
+# ~12 h round budget, so round end is ~17:12 — the earlier cutoff would
+# have idled the chip for 3h of potential training time.)
+CHAIN_CUTOFF_EPOCH = 1_787_069_700
 
 # terminal marker of each chain2 stage (round4_chain2.STAGES order);
 # a stage is complete iff its marker is in the log
