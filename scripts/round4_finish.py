@@ -80,6 +80,17 @@ def main(results=True):
                          cwd=REPO)
     if rc or not results:
         return rc
+    # The regen is TPU-bound when the axon relay is up, but the relay can
+    # die between a stage finishing and the end-game running — and with
+    # libtpu installed the first jax call then blocks forever instead of
+    # failing.  Probe first and pin to CPU (validated bit-identical to
+    # the TPU artifacts, logs/make_results_check.log) so the supervisor's
+    # unattended end-game always terminates.
+    from wsunet_tpu.bench import _tpu_reachable
+    if not _tpu_reachable():
+        import jax
+        print("round4_finish: relay down; regenerating results on CPU")
+        jax.config.update("jax_platforms", "cpu")
     from scripts.make_results import main as make_results
     return make_results()
 
