@@ -128,8 +128,14 @@ int fast_png_read(const char* path, PngRaw* img, int expect_h,
   if (be32(8) != 13 || std::memcmp(&buf[12], "IHDR", 4) != 0)
     return kNotEligible;
   const uint32_t w = be32(16), h = be32(20);
-  const uint8_t depth = buf[24], ctype = buf[25], interlace = buf[28];
-  if (depth != 8 || interlace != 0 || w == 0 || h == 0) return kNotEligible;
+  const uint8_t depth = buf[24], ctype = buf[25];
+  const uint8_t compression = buf[26], filter = buf[27], interlace = buf[28];
+  // compression/filter method must be 0 (the only defined values):
+  // decoding a nonzero-method file under method-0 semantics would
+  // fabricate pixels where libpng rejects the file as malformed
+  if (depth != 8 || compression != 0 || filter != 0 || interlace != 0 ||
+      w == 0 || h == 0)
+    return kNotEligible;
   if (w > 1u << 24 || h > 1u << 24) return kNotEligible;
   if (static_cast<int>(h) != expect_h || static_cast<int>(w) != expect_w)
     return 2;  // same verdict the libpng path reaches after its probe

@@ -43,6 +43,33 @@ def tree_md5(root: pathlib.Path) -> str:
     return h.hexdigest()
 
 
+def _committed_matches_staging_best(exp: pathlib.Path,
+                                    staging: pathlib.Path) -> bool:
+    """True iff the committed (slimmed) checkpoint's arrays are exactly
+    the staging ``model/best`` ones.  The md5s above prove best==latest
+    *within staging*; this binds the checkpoint the repo actually serves
+    to that attested tree (the committed copy is re-serialized by the
+    slimming step, so byte hashes cannot do it)."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+    import orbax.checkpoint as ocp
+    with ocp.StandardCheckpointer() as ckptr:
+        committed = ckptr.restore((exp / "model" / "best").resolve())
+        staged = ckptr.restore((staging / "model" / "best").resolve())
+    for key, sub in committed.items():
+        if key not in staged:
+            return False
+        a_leaves, a_def = jax.tree_util.tree_flatten(sub)
+        b_leaves, b_def = jax.tree_util.tree_flatten(staged[key])
+        if a_def != b_def or len(a_leaves) != len(b_leaves):
+            return False
+        if not all(np.array_equal(a, b)
+                   for a, b in zip(a_leaves, b_leaves)):
+            return False
+    return True
+
+
 def attest(exp: pathlib.Path) -> bool:
     """Attest one committed experiment dir; returns True on success."""
     cfg_path = exp / "config.json"
@@ -61,19 +88,22 @@ def attest(exp: pathlib.Path) -> bool:
     best_md5 = tree_md5(staging / "model" / "best")
     latest_md5 = tree_md5(staging / "model" / "latest")
     patience_ok = int(cfg.get("patience", 0)) >= int(cfg["num_epochs"])
+    committed_ok = _committed_matches_staging_best(exp, staging)
     att = {
         "best_is_latest": best_md5 == latest_md5,
         "best_md5": best_md5,
         "latest_md5": latest_md5,
         "patience_covers_schedule": patience_ok,
+        "committed_matches_staging_best": committed_ok,
         "staging_dir": str(staging.relative_to(REPO)),
         "attested_by": "scripts/attest_checkpoints.py",
     }
     cfg["checkpoint_attestation"] = att
     cfg_path.write_text(json.dumps(cfg, indent=4) + "\n")
-    ok = att["best_is_latest"] and patience_ok
+    ok = att["best_is_latest"] and patience_ok and committed_ok
     print(f"{'ATTESTED' if ok else 'FAILED'} {exp}: best==latest="
-          f"{att['best_is_latest']} patience_ok={patience_ok}")
+          f"{att['best_is_latest']} patience_ok={patience_ok} "
+          f"committed==staging_best={committed_ok}")
     return ok
 
 
@@ -84,7 +114,8 @@ def is_leak_free(cfg: dict) -> bool:
         return True
     att = cfg.get("checkpoint_attestation", {})
     return bool(att.get("best_is_latest")
-                and att.get("patience_covers_schedule"))
+                and att.get("patience_covers_schedule")
+                and att.get("committed_matches_staging_best"))
 
 
 def main(patterns, skip_clean=True):

@@ -160,6 +160,10 @@ def main() -> int:
                  "markers next round)")
             kill_chain_tree()
             time.sleep(10)
+            # re-read: a stage can print its terminal marker between the
+            # snapshot above and the SIGTERM landing — deciding on the
+            # stale text would discard a freshly finished fold model
+            text = LOG.read_text() if LOG.exists() else ""
             if any(m in text for m in STAGE_DONE):
                 note("cutoff end-game on what finished")
                 return endgame()

@@ -21,15 +21,17 @@ def test_is_leak_free_rule():
     assert is_leak_free({"select_metric": "last"})
     assert not is_leak_free({"select_metric": "ws"})
     assert not is_leak_free({})
-    att_ok = {"best_is_latest": True, "patience_covers_schedule": True}
+    att_ok = {"best_is_latest": True, "patience_covers_schedule": True,
+              "committed_matches_staging_best": True}
     assert is_leak_free({"select_metric": "ws",
                          "checkpoint_attestation": att_ok})
-    for broken in ({"best_is_latest": False,
-                    "patience_covers_schedule": True},
-                   {"best_is_latest": True,
-                    "patience_covers_schedule": False}):
+    for missing in att_ok:  # every attested fact is load-bearing
+        broken = {**att_ok, missing: False}
         assert not is_leak_free({"select_metric": "ws",
                                  "checkpoint_attestation": broken})
+        partial = {k: v for k, v in att_ok.items() if k != missing}
+        assert not is_leak_free({"select_metric": "ws",
+                                 "checkpoint_attestation": partial})
 
 
 def test_committed_fold_a_unets_are_attested():
@@ -46,7 +48,8 @@ def test_unet_entry_scan_applies_cleanliness_rule(tmp_path):
     from scripts.round3_holdout import _unet_entries
 
     base = tmp_path / "unet" / "LSBR"
-    att = {"best_is_latest": True, "patience_covers_schedule": True}
+    att = {"best_is_latest": True, "patience_covers_schedule": True,
+           "committed_matches_staging_best": True}
     for name, cfg in [
             ("100000000000-leaky", {"select_metric": "ws"}),
             ("100000000001-attested", {"select_metric": "ws",

@@ -312,13 +312,17 @@ def run_bench(dtype: str = "bfloat16", iters: int = 20,
     # single-image serving latency: the dedicated batch-1 path (serve.py
     # — bf16 stack, fixed shape), reported with the
     # transport floor so the number is readable net of the tunneled axon
-    # dispatch round trip (VERDICT r3 item 4)
-    try:
-        from .serve import UNetWSServer, measure_latency
-        server = UNetWSServer(model, variables)
-        out.update(measure_latency(server))
-    except Exception as e:
-        out["latency_error"] = f"{type(e).__name__}: {str(e)[:200]}"
+    # dispatch round trip (VERDICT r3 item 4).  Skipped on the outage
+    # fallback: a 512x512 batch-1 compile + 30 blocking passes on the
+    # single host core adds minutes to a path whose whole point is a
+    # fast marker line.
+    if not tpu_unreachable:
+        try:
+            from .serve import UNetWSServer, measure_latency
+            server = UNetWSServer(model, variables)
+            out.update(measure_latency(server))
+        except Exception as e:
+            out["latency_error"] = f"{type(e).__name__}: {str(e)[:200]}"
     if device.platform == "tpu":
         try:
             out["ws_fused"] = _bench_ws_fused(batch_size=batch_size)

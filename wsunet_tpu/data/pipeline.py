@@ -82,16 +82,16 @@ def _decode_many(paths, reader, threads: int,
             lookup = {(str(p), reader.__name__): d
                       for p, d in zip(missing, decoded)}
             with _DECODE_CACHE_LOCK:
+                # never cache failures: a transient I/O error would
+                # otherwise pin None for the whole process and silently
+                # drop that image from every later sweep configuration
                 fresh = {k: d for k, d in lookup.items()
-                         if k not in _DECODE_CACHE}
-                new_bytes = sum(d.nbytes for d in fresh.values()
-                                if d is not None)
+                         if k not in _DECODE_CACHE and d is not None}
+                new_bytes = sum(d.nbytes for d in fresh.values())
                 if _DECODE_CACHE_BYTES + new_bytes <= _DECODE_CACHE_BUDGET:
                     _DECODE_CACHE.update(fresh)
                     _DECODE_CACHE_BYTES += new_bytes
-                else:  # over budget: serve this batch uncached
-                    return [_DECODE_CACHE.get(k, lookup.get(k))
-                            for k in keys]
+            return [_DECODE_CACHE.get(k, lookup.get(k)) for k in keys]
         return [_DECODE_CACHE[k] for k in keys]
     native = _get_native()
     if native is not None and reader is imread_gray_u8:
