@@ -114,6 +114,79 @@ def test_fast_path_defilter_fuzz(tmp_path):
                             compress_level=level)
 
 
+def _write_png_with_filters(path, arr, filters):
+    """Hand-assemble an 8-bit gray PNG applying an EXPLICIT per-row
+    filter choice (encoders pick their own, so fuzzing through PIL
+    cannot pin row-run shapes)."""
+    import struct
+    import zlib
+
+    h, w = arr.shape
+    assert len(filters) == h
+    raw = bytearray()
+    prev = np.zeros(w, np.int16)
+    for y, f in enumerate(filters):
+        cur = arr[y].astype(np.int16)
+        left = np.concatenate([[0], cur[:-1]])
+        upleft = np.concatenate([[0], prev[:-1]])
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = cur - left
+        elif f == 2:
+            enc = cur - prev
+        elif f == 3:
+            enc = cur - (left + prev) // 2
+        else:  # Paeth
+            p = left + prev - upleft
+            pa, pb, pc = (abs(p - left), abs(p - prev), abs(p - upleft))
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prev, upleft))
+            enc = cur - pred
+        raw.append(f)
+        raw.extend((enc % 256).astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(tag, payload):
+        body = tag + payload
+        return (struct.pack(">I", len(payload)) + body +
+                struct.pack(">I", zlib.crc32(body)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    path.write_bytes(b"\x89PNG\r\n\x1a\n" +
+                     chunk(b"IHDR", ihdr) +
+                     chunk(b"IDAT", zlib.compress(bytes(raw), 6)) +
+                     chunk(b"IEND", b""))
+
+
+def test_fast_path_paeth_run_shapes(tmp_path):
+    """Pin the Paeth wavefront's boundary cases with constructed filter
+    layouts: run lengths around the K=8 wave height (remainder rows take
+    the single-row loop), runs broken by other filters, all-Paeth
+    images, and widths at/below K where the wavefront must stand down."""
+    rng = np.random.default_rng(11)
+
+    def check(h, w, filters, name):
+        arr = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        p = tmp_path / f"{name}.png"
+        _write_png_with_filters(p, arr, filters)
+        out = native.decode_gray_batch([p], threads=1)
+        assert out is not None, name
+        np.testing.assert_array_equal(out[0], arr, err_msg=name)
+        # the PIL reader must agree (guards the writer itself)
+        np.testing.assert_array_equal(
+            np.asarray(imread_gray_u8(p)), arr, err_msg=name)
+
+    for h in (7, 8, 9, 16, 17, 25):          # run length vs K=8 chunks
+        check(h, 40, [2] + [4] * (h - 1), f"run{h}")
+    check(40, 40, [4] * 40, "allpaeth")      # first row Paeth, no prev
+    check(24, 40, [4, 4, 4, 1, 4, 4, 4, 4, 4, 4, 4, 4, 2,
+                   4, 4, 4, 4, 4, 4, 4, 4, 0, 4, 4], "broken_runs")
+    for w in (2, 7, 8, 9, 13):               # wavefront needs w > K
+        check(30, w, [0] + [4] * 29, f"narrow{w}")
+    check(9, 3000, [2] + [4] * 8, "wide")    # one wave, long rows
+
+
 def test_fast_path_rgb_and_fallback_formats(tmp_path):
     """RGB uses the fast path with the OpenCV-rounded luma; palette and
     16-bit inputs must fall back to libpng and still decode exactly like
