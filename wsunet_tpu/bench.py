@@ -116,6 +116,32 @@ def _bench_ws_fused(iters: int = 50, batch_size: int = 128) -> dict:
     }
 
 
+def _bench_decode_only(repeats: int = 40) -> dict:
+    """Host-side PNG decode rate of the native loader on the fixture
+    covers (ms/img, best-of-5 to shed scheduler noise).  Reported on
+    every platform — the decode path is pure host work, so its number is
+    meaningful even when the bench runs on the CPU outage fallback where
+    the TPU-gated `e2e_decode` sweep is unavailable."""
+    from .data import pipeline
+
+    native = pipeline._get_native()
+    root = pathlib.Path("/root/reference/data/images")
+    if native is None or not root.exists():
+        return {"error": "native loader or fixture dataset unavailable"}
+    paths = sorted(root.glob("*.png"))
+    if not paths:
+        return {"error": "no fixture covers"}
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        for _ in range(repeats):
+            native.decode_gray_batch(paths, threads=1)
+        best = min(best,
+                   (time.perf_counter() - t0) / (repeats * len(paths)))
+    return {"decode_ms_per_img": round(best * 1e3, 3),
+            "images": len(paths)}
+
+
 def _bench_e2e_decode(model, variables, batch_size: int = 32,
                       repeats: int = 4) -> dict:
     """PNG-on-disk -> beta_hat throughput including host decode (the
@@ -323,6 +349,10 @@ def run_bench(dtype: str = "bfloat16", iters: int = 20,
             out.update(measure_latency(server))
         except Exception as e:
             out["latency_error"] = f"{type(e).__name__}: {str(e)[:200]}"
+    try:
+        out["decode_only"] = _bench_decode_only()
+    except Exception as e:
+        out["decode_only"] = {"error": f"{type(e).__name__}: {e}"}
     if device.platform == "tpu":
         try:
             out["ws_fused"] = _bench_ws_fused(batch_size=batch_size)
