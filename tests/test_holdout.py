@@ -77,6 +77,12 @@ def test_holdout_roc_writes_artifacts(frames, tmp_path):
     assert len(merged) == len(df)
     assert ((merged["auc"] >= merged["auc_lo"] - 1e-12) &
             (merged["auc"] <= merged["auc_hi"] + 1e-12)).all()
+    # per-alpha breakout sidecar: one row per (alpha, detector) cell
+    by_alpha = pd.read_csv(out / "auc_by_alpha_t.csv")
+    assert set(by_alpha["alpha"]) == {0.1, 0.01}
+    assert len(by_alpha) == 2 * len(df)
+    assert {"alpha", "stego_method", "model_name", "auc",
+            "p_e"} <= set(by_alpha.columns)
 
 
 def test_b0_entry_scan_excludes_non_last_selection(tmp_path):

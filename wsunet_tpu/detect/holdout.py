@@ -158,6 +158,20 @@ def holdout_roc(
                              values=["tpr", "fpr"])
         pivot.columns = ["_".join(c).strip() for c in pivot.columns.values]
         pivot.to_csv(outdir / f"roc_{alpha}_{suffix}.csv", index=False)
+        # per-alpha breakout: the pooled table mixes easy and hard change
+        # rates (golden-artifact semantics); this sidecar shows each
+        # detector's AUC/P_E per single alpha so claims about the hardest
+        # cell (alpha=0.01 alone) are auditable from a committed artifact
+        by_alpha = []
+        for a in sorted(kw.get("alphas", (0.1, 0.05, 0.01))):
+            sub = scores[(scores["alpha"] == 0.0) |
+                         (scores["alpha"] == a)].copy()
+            t = produce_roc(sub)[["stego_method", "model_name", "auc",
+                                  "p_e"]].drop_duplicates()
+            t.insert(0, "alpha", a)
+            by_alpha.append(t)
+        pd.concat(by_alpha, ignore_index=True).to_csv(
+            outdir / f"auc_by_alpha_{suffix}.csv", index=False)
         audit_cols = [c for c in ("name", "fold", "model_name",
                                   "stego_method", "alpha", "beta_hat",
                                   "score") if c in scores.columns]
