@@ -103,43 +103,43 @@ inline void paeth_row_bpp1(uint8_t* cur, const uint8_t* prev, size_t n) {
 // first run row's data byte (past the filter tag); the row above it is
 // already defiltered.  Bit-exact: every byte still consumes exactly the
 // operands the sequential order produced.
-constexpr int kWaveRows = 8;
+// K rows per wave: 8 gray chains fill the pipeline; RGB has 3 chains
+// per row already, so 4 rows (12 chains) before register spill wins.
+template <int BPP>
+constexpr int wave_rows() { return BPP == 1 ? 8 : 4; }
 
-inline void paeth_wave_bpp1(uint8_t* base, size_t rowbytes, int w) {
-  constexpr int K = kWaveRows;
+template <int BPP>
+inline void paeth_wave(uint8_t* base, size_t rowbytes, int w_px) {
+  constexpr int K = wave_rows<BPP>();
   uint8_t* row[K + 1];
   row[0] = base - rowbytes;
-  for (int r = 0; r < K; ++r) row[r + 1] = base + static_cast<size_t>(r) * rowbytes;
-  int a[K];
+  for (int r = 0; r < K; ++r)
+    row[r + 1] = base + static_cast<size_t>(r) * rowbytes;
+  int a[K][BPP];
+  auto step = [&](int r, int i) {
+    uint8_t* cur = row[r + 1] + static_cast<size_t>(i) * BPP;
+    const uint8_t* up = row[r] + static_cast<size_t>(i) * BPP;
+    if (i == 0) {
+      for (int ch = 0; ch < BPP; ++ch) {  // left = upleft = 0 -> pred = up
+        a[r][ch] = static_cast<uint8_t>(cur[ch] + up[ch]);
+        cur[ch] = static_cast<uint8_t>(a[r][ch]);
+      }
+    } else {
+      for (int ch = 0; ch < BPP; ++ch) {
+        a[r][ch] = paeth_step_bpp1(a[r][ch], up[ch], up[ch - BPP], cur[ch]);
+        cur[ch] = static_cast<uint8_t>(a[r][ch]);
+      }
+    }
+  };
   // leading triangle: row r enters the wavefront at diagonal step s == r
-  for (int s = 0; s < K; ++s) {
-    for (int r = 0; r <= s; ++r) {
-      const int i = s - r;
-      uint8_t* cur = row[r + 1];
-      const uint8_t* prv = row[r];
-      a[r] = (i == 0) ? static_cast<uint8_t>(cur[0] + prv[0])
-                      : paeth_step_bpp1(a[r], prv[i], prv[i - 1], cur[i]);
-      cur[i] = static_cast<uint8_t>(a[r]);
-    }
-  }
-  // steady state: all K rows active at columns >= 1 (requires w > K)
-  for (int s = K; s < w; ++s) {
-    for (int r = 0; r < K; ++r) {
-      const int i = s - r;
-      uint8_t* cur = row[r + 1];
-      a[r] = paeth_step_bpp1(a[r], row[r][i], row[r][i - 1], cur[i]);
-      cur[i] = static_cast<uint8_t>(a[r]);
-    }
-  }
+  for (int s = 0; s < K; ++s)
+    for (int r = 0; r <= s; ++r) step(r, s - r);
+  // steady state: all K rows active at pixels >= 1 (requires w_px > K)
+  for (int s = K; s < w_px; ++s)
+    for (int r = 0; r < K; ++r) step(r, s - r);
   // trailing triangle
-  for (int s = w; s < w + K - 1; ++s) {
-    for (int r = s - w + 1; r < K; ++r) {
-      const int i = s - r;
-      uint8_t* cur = row[r + 1];
-      a[r] = paeth_step_bpp1(a[r], row[r][i], row[r][i - 1], cur[i]);
-      cur[i] = static_cast<uint8_t>(a[r]);
-    }
-  }
+  for (int s = w_px; s < w_px + K - 1; ++s)
+    for (int r = s - w_px + 1; r < K; ++r) step(r, s - r);
 }
 
 // One decompressor per decode thread, reused across batches and freed
@@ -243,27 +243,39 @@ int fast_png_read(const char* path, PngRaw* img, int expect_h,
     uint8_t* rowp = img->scan.data() + static_cast<size_t>(y) * img->rowbytes;
     const uint8_t filt = rowp[0];
     uint8_t* cur = rowp + 1;
-    // gray Paeth runs take the K-row wavefront (see paeth_wave_bpp1)
-    if (filt == 4 && prev && bpp == 1 &&
-        static_cast<int>(stride) > kWaveRows) {
+    // Paeth runs take the K-row wavefront (see paeth_wave)
+    const int kwave = (bpp == 1) ? wave_rows<1>() : wave_rows<3>();
+    if (filt == 4 && prev && static_cast<int>(w) > kwave) {
       uint32_t run = 1;
       while (y + run < h &&
              img->scan[static_cast<size_t>(y + run) * img->rowbytes] == 4)
         ++run;
       uint32_t done = 0;
-      while (run - done >= static_cast<uint32_t>(kWaveRows)) {
-        paeth_wave_bpp1(img->scan.data() +
-                            static_cast<size_t>(y + done) * img->rowbytes + 1,
-                        img->rowbytes, static_cast<int>(stride));
-        done += kWaveRows;
+      while (run - done >= static_cast<uint32_t>(kwave)) {
+        uint8_t* wbase = img->scan.data() +
+                         static_cast<size_t>(y + done) * img->rowbytes + 1;
+        if (bpp == 1)
+          paeth_wave<1>(wbase, img->rowbytes, static_cast<int>(w));
+        else
+          paeth_wave<3>(wbase, img->rowbytes, static_cast<int>(w));
+        done += kwave;
       }
-      for (; done < run; ++done)
-        paeth_row_bpp1(
-            img->scan.data() + static_cast<size_t>(y + done) * img->rowbytes +
-                1,
+      for (; done < run; ++done) {
+        uint8_t* rcur = img->scan.data() +
+                        static_cast<size_t>(y + done) * img->rowbytes + 1;
+        const uint8_t* rprev =
             img->scan.data() +
-                static_cast<size_t>(y + done - 1) * img->rowbytes + 1,
-            stride);
+            static_cast<size_t>(y + done - 1) * img->rowbytes + 1;
+        if (bpp == 1) {
+          paeth_row_bpp1(rcur, rprev, stride);
+        } else {
+          for (int i = 0; i < bpp; ++i)
+            rcur[i] = static_cast<uint8_t>(rcur[i] + rprev[i]);
+          for (size_t i = bpp; i < stride; ++i)
+            rcur[i] = static_cast<uint8_t>(
+                rcur[i] + paeth(rcur[i - bpp], rprev[i], rprev[i - bpp]));
+        }
+      }
       y += run - 1;  // loop ++y lands on the first non-Paeth row
       prev = img->scan.data() + static_cast<size_t>(y) * img->rowbytes + 1;
       continue;

@@ -115,20 +115,23 @@ def test_fast_path_defilter_fuzz(tmp_path):
 
 
 def _write_png_with_filters(path, arr, filters):
-    """Hand-assemble an 8-bit gray PNG applying an EXPLICIT per-row
-    filter choice (encoders pick their own, so fuzzing through PIL
-    cannot pin row-run shapes)."""
+    """Hand-assemble an 8-bit gray or RGB PNG applying an EXPLICIT
+    per-row filter choice (encoders pick their own, so fuzzing through
+    PIL cannot pin row-run shapes)."""
     import struct
     import zlib
 
-    h, w = arr.shape
+    h, w = arr.shape[:2]
+    bpp = 1 if arr.ndim == 2 else arr.shape[2]
+    flat = arr.reshape(h, w * bpp)
     assert len(filters) == h
     raw = bytearray()
-    prev = np.zeros(w, np.int16)
+    prev = np.zeros(w * bpp, np.int16)
+    pad = np.zeros(bpp, np.int16)
     for y, f in enumerate(filters):
-        cur = arr[y].astype(np.int16)
-        left = np.concatenate([[0], cur[:-1]])
-        upleft = np.concatenate([[0], prev[:-1]])
+        cur = flat[y].astype(np.int16)
+        left = np.concatenate([pad, cur[:-bpp]])
+        upleft = np.concatenate([pad, prev[:-bpp]])
         if f == 0:
             enc = cur
         elif f == 1:
@@ -152,7 +155,7 @@ def _write_png_with_filters(path, arr, filters):
         return (struct.pack(">I", len(payload)) + body +
                 struct.pack(">I", zlib.crc32(body)))
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0 if bpp == 1 else 2, 0, 0, 0)
     path.write_bytes(b"\x89PNG\r\n\x1a\n" +
                      chunk(b"IHDR", ihdr) +
                      chunk(b"IDAT", zlib.compress(bytes(raw), 6)) +
@@ -185,6 +188,28 @@ def test_fast_path_paeth_run_shapes(tmp_path):
     for w in (2, 7, 8, 9, 13):               # wavefront needs w > K
         check(30, w, [0] + [4] * 29, f"narrow{w}")
     check(9, 3000, [2] + [4] * 8, "wide")    # one wave, long rows
+
+
+def test_fast_path_paeth_run_shapes_rgb(tmp_path):
+    """Same boundary pinning for the RGB wavefront (K=4, 3 chains per
+    row); parity target is the PIL reference reader's BT.601 gray."""
+    rng = np.random.default_rng(13)
+
+    def check(h, w, filters, name):
+        arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        p = tmp_path / f"{name}.png"
+        _write_png_with_filters(p, arr, filters)
+        out = native.decode_gray_batch([p], threads=1)
+        assert out is not None, name
+        np.testing.assert_array_equal(
+            out[0], np.asarray(imread_gray_u8(p)), err_msg=name)
+
+    for h in (4, 5, 9, 13):                  # run length vs K=4 chunks
+        check(h, 24, [2] + [4] * (h - 1), f"rgbrun{h}")
+    check(24, 24, [4] * 24, "rgb_allpaeth")
+    check(12, 24, [4, 4, 4, 4, 4, 1, 4, 4, 4, 4, 0, 4], "rgb_broken")
+    for w in (2, 3, 4, 5, 7):                # wavefront needs w > K=4
+        check(16, w, [0] + [4] * 15, f"rgbnarrow{w}")
 
 
 def test_fast_path_rgb_and_fallback_formats(tmp_path):
