@@ -138,8 +138,14 @@ def _bench_decode_only(repeats: int = 40) -> dict:
             native.decode_gray_batch(paths, threads=1)
         best = min(best,
                    (time.perf_counter() - t0) / (repeats * len(paths)))
+    # floor guard (same spirit as ws_fused's): wavefront-defilter decode
+    # measured 1.47 ms/img on the fixture covers; >2.2 would mean the
+    # fast path silently regressed (e.g. falling back to libpng)
+    floor_ms = 2.2
     return {"decode_ms_per_img": round(best * 1e3, 3),
-            "images": len(paths)}
+            "images": len(paths),
+            "floor_ms_per_img": floor_ms,
+            "floor_ok": bool(best * 1e3 <= floor_ms)}
 
 
 def _bench_e2e_decode(model, variables, batch_size: int = 32,
