@@ -138,14 +138,26 @@ def _bench_decode_only(repeats: int = 40) -> dict:
             native.decode_gray_batch(paths, threads=1)
         best = min(best,
                    (time.perf_counter() - t0) / (repeats * len(paths)))
-    # floor guard (same spirit as ws_fused's): wavefront-defilter decode
-    # measured 1.47 ms/img on the fixture covers; >2.2 would mean the
-    # fast path silently regressed (e.g. falling back to libpng)
-    floor_ms = 2.2
+    # floor guard (same spirit as ws_fused's), but RELATIVE to the PIL
+    # reader measured under the same machine load — an absolute ms floor
+    # trips on a busy host, while the failure this guards against (the
+    # libdeflate+wavefront fast path silently degrading to the
+    # libpng/PIL-class path) halves the ratio regardless of load.
+    # Measured: 3.3-4x.
+    import numpy as np
+    from .io import imread_gray_u8
+    t0 = time.perf_counter()
+    for _ in range(max(1, repeats // 8)):
+        for p in paths:
+            np.asarray(imread_gray_u8(p))
+    pil = (time.perf_counter() - t0) / (max(1, repeats // 8) * len(paths))
+    speedup = pil / best if best > 0 else float("inf")
     return {"decode_ms_per_img": round(best * 1e3, 3),
+            "pil_ms_per_img": round(pil * 1e3, 3),
             "images": len(paths),
-            "floor_ms_per_img": floor_ms,
-            "floor_ok": bool(best * 1e3 <= floor_ms)}
+            "speedup_vs_pil": round(speedup, 2),
+            "floor_speedup": 2.0,
+            "floor_ok": bool(speedup >= 2.0)}
 
 
 def _bench_e2e_decode(model, variables, batch_size: int = 32,
