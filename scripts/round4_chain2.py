@@ -32,7 +32,13 @@ sys.path.insert(0, str(REPO))
 
 # nsr-folda-s2, interrupted at epoch 27/50 by the relay outage; both
 # model/best and model/latest were written 19:53 (select_metric="last",
-# so best tracks the end of schedule — resume pulls exactly epoch 27)
+# so best tracks the end of schedule — resume pulls exactly epoch 27).
+# The container reset after the outage wiped the gitignored models_r3/
+# staging, so this partial run only exists if the same host survived;
+# stage 0 probes for it and otherwise restarts the curriculum at s1
+# (resuming from the *committed* fold-A nsr final is not an option: its
+# checkpoint was selected by val p_e on cover 8, a fold-A eval cover,
+# and the leak would propagate through the resume).
 NSR_FOLDA_S2_PART = ("260817193119-tpu-b0-nostride-alpha_mix0.1-0.05-0.01"
                      "_grayscale_crossentropy_lr_0.0001_dr_0.2")
 
@@ -58,10 +64,24 @@ def stage_nsr_folda_cont():
     tag = "nsr-folda"
     base = {**COMMON, **NSR, **FOLD_A, "select_metric": "last",
             "stego_method": "LSBR"}
-    s2 = _done_marker(f"{tag}-s2") or _train_b0(
-        {**base, "alpha": [0.1, 0.05, 0.01],
-         "val_alpha": [0.1, 0.05, 0.01], "num_epochs": 25,
-         "learning_rate": 1e-4, "resume": NSR_FOLDA_S2_PART})
+    from scripts.round3_chain import B0_OUT
+    part = B0_OUT / "LSBR" / NSR_FOLDA_S2_PART
+    s2 = _done_marker(f"{tag}-s2")
+    if not s2 and (part / "model/latest").exists():
+        # same host survived the outage: finish the interrupted s2
+        s2 = _train_b0({**base, "alpha": [0.1, 0.05, 0.01],
+                        "val_alpha": [0.1, 0.05, 0.01], "num_epochs": 25,
+                        "learning_rate": 1e-4,
+                        "resume": NSR_FOLDA_S2_PART})
+    if not s2:
+        # staging lost with the container: full curriculum restart
+        s1 = _done_marker(f"{tag}-s1") or _train_b0(
+            {**base, "alpha": [0.4, 0.2, 0.1], "val_alpha": [0.1],
+             "num_epochs": 40})
+        print(f"STAGE-DONE {tag}-s1: {s1}", flush=True)
+        s2 = _train_b0({**base, "alpha": [0.1, 0.05, 0.01],
+                        "val_alpha": [0.1, 0.05, 0.01], "num_epochs": 50,
+                        "learning_rate": 1e-4, "resume": s1})
     print(f"STAGE-DONE {tag}-s2: {s2}", flush=True)
     s3 = _done_marker(f"{tag}-s3") or _train_b0(
         {**base, **FULLRES, "alpha": [0.1, 0.05, 0.01],

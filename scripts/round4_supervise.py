@@ -41,11 +41,11 @@ DEADLINE_S = 11.5 * 3600  # stop relaunching when the round must wrap up
 # behind hours of training.  Kill the chain tree instead — every
 # sub-stage checkpoints continuously and resumes from log markers, so
 # round 5 loses nothing — and salvage what finished.
-# (Was 13:30, then 16:15: each session restart refreshes the ~12 h
-# round budget.  The 2026-08-18 06:32 restart puts round end at ~18:30,
-# so 17:20 keeps ~70 min of bench margin while buying the chain another
-# hour of training if the relay returns late.)
-CHAIN_CUTOFF_EPOCH = 1_787_073_600
+# (Was 13:30, then 16:15, then 17:20: each session restart refreshes
+# the ~12 h round budget.  The 2026-08-18 11:15 restart — container
+# recreated, relay back up — puts round end at ~23:45, so 21:20 keeps
+# ~2 h for the end-game regen + bench + the driver's round-end bench.)
+CHAIN_CUTOFF_EPOCH = 1_787_088_000
 
 # terminal marker of each chain2 stage (round4_chain2.STAGES order);
 # a stage is complete iff its marker is in the log
