@@ -47,13 +47,24 @@ def _done_marker(tag: str):
     """Experiment name recorded by an earlier STAGE-DONE line in this
     chain's log, or None.  Lets a supervisor relaunch after a mid-stage
     death skip hours of finished sub-stages instead of re-training
-    them (the stage functions key their hand-offs on these names)."""
+    them (the stage functions key their hand-offs on these names).
+
+    A marker whose staged run no longer exists under models_r3/ is
+    ignored: the staging tree is gitignored, so a container reset can
+    wipe the checkpoints while the log (or a stale copy of it) keeps
+    the line — resuming from such a marker would hand a missing
+    checkpoint to the next sub-stage and crash it."""
     log = REPO / "logs/round4_chain2.log"
     if not log.exists():
         return None
     for line in reversed(log.read_text().splitlines()):
         if line.startswith(f"STAGE-DONE {tag}: "):
-            return line.split(": ", 1)[1].strip()
+            name = line.split(": ", 1)[1].strip()
+            if any((REPO / "models_r3").glob(f"*/*/{name}")):
+                return name
+            print(f"marker {tag}: {name} has no staged run; ignoring",
+                  flush=True)
+            return None
     return None
 
 

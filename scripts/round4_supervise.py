@@ -149,12 +149,44 @@ def endgame() -> int:
     return rc
 
 
+def incremental_swap(new_markers) -> bool:
+    """Swap freshly finished stages into the committed fold zoos NOW
+    instead of waiting for the end-game.  The staging tree
+    (models_r3/) is gitignored and container resets wipe it — this
+    round lost an epoch-27 checkpoint and every chain log that way —
+    so each finished stage is made durable the moment it exists.  The
+    end-game's full swap remains idempotent on top of these."""
+    rc = subprocess.call(
+        [sys.executable, "scripts/round4_finish.py", "--swap-only"],
+        cwd=REPO)
+    note(f"incremental swap rc={rc} for {sorted(new_markers)}")
+    if rc:
+        return False
+    subprocess.call(["git", "add", "models", "models_foldb"], cwd=REPO)
+    tags = ", ".join(m.split()[-1] for m in sorted(new_markers))
+    crc = subprocess.call(
+        ["git", "commit", "-m",
+         f"Swap finished chain stage(s) into the fold zoos: {tags}"],
+        cwd=REPO)
+    # empty commit (zoo already current after a supervisor restart)
+    # exits nonzero — the swap itself succeeded, don't retry forever
+    note(f"incremental commit rc={crc}")
+    return True
+
+
 def main() -> int:
     t0 = time.time()
     relaunches = 0
+    swapped = set()
     note("supervising the round-4 chain...")
     while True:
         text = LOG.read_text() if LOG.exists() else ""
+        new_markers = {m for m in STAGE_DONE if m in text} - swapped
+        if new_markers and "CHAIN-END" not in text and chain_alive():
+            # chain already ended -> the end-game below does the full
+            # swap anyway; only mid-chain completions need durability
+            if incremental_swap(new_markers):
+                swapped |= new_markers
         if time.time() > CHAIN_CUTOFF_EPOCH and chain_alive():
             note("round-end cutoff: killing the chain tree so the "
                  "driver's bench gets a free chip (stages resume from "

@@ -66,6 +66,29 @@ def test_chain_alive_rejects_recycled_pid(tmp_path, monkeypatch):
     assert not m.chain_alive()
 
 
+def test_incremental_swap_reports_swap_failure(tmp_path, monkeypatch):
+    """A failed swap must return False (the supervisor retries next
+    tick) and must not commit; a successful swap commits even when the
+    commit itself is a no-op."""
+    m = _mod()
+    monkeypatch.setattr(m, "NOTES", tmp_path / "notes.log")
+    calls = []
+
+    def fake_call(cmd, **kw):
+        calls.append(cmd)
+        return 1 if "--swap-only" in cmd and fail else 0
+
+    monkeypatch.setattr(m.subprocess, "call", fake_call)
+    fail = True
+    assert m.incremental_swap({"STAGE-DONE nsr-folda-final"}) is False
+    assert not any(c[0] == "git" for c in calls)
+    calls.clear()
+    fail = False
+    assert m.incremental_swap({"STAGE-DONE nsr-folda-final"}) is True
+    assert ["git", "add", "models", "models_foldb"] in calls
+    assert any(c[:2] == ["git", "commit"] for c in calls)
+
+
 def test_chain2_done_marker_resumes_substages(tmp_path, monkeypatch):
     """A supervisor relaunch must recover finished sub-stage hand-off
     names from the log instead of re-training them."""
@@ -82,6 +105,16 @@ def test_chain2_done_marker_resumes_substages(tmp_path, monkeypatch):
         "STAGE-DONE nsr-folda-s2: 260818-run-a\n"
         "STAGE-DONE nsr-folda-s2: 260818-run-b\n"  # latest wins
         "STAGE-DONE nsr-folda-recal: 260818-run-c\n")
+    # markers only count when their staged run still exists (container
+    # resets wipe the gitignored models_r3/ while the log survives in a
+    # copy — resuming from a wiped run would crash the next sub-stage)
+    for run in ("260818-run-b", "260818-run-c"):
+        (tmp_path / "models_r3/b0/LSBR" / run).mkdir(parents=True)
     assert chain._done_marker("nsr-folda-s2") == "260818-run-b"
     assert chain._done_marker("nsr-folda-s3") is None
     assert chain._done_marker("nsr-folda-recal") == "260818-run-c"
+    # stale marker: logged but the staging tree was wiped
+    assert chain._done_marker("nsr-folda-s2") == "260818-run-b"
+    import shutil
+    shutil.rmtree(tmp_path / "models_r3/b0/LSBR/260818-run-b")
+    assert chain._done_marker("nsr-folda-s2") is None
