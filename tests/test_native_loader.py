@@ -284,3 +284,31 @@ def test_hostile_header_dims_never_allocate(tmp_path, data_root):
     from wsunet_tpu.io.imread import imread_gray_u8
     decoded = _decode_many([good, bad], imread_gray_u8, 2)
     assert decoded[0] is not None and decoded[1] is None
+
+
+def test_autobuild_from_cold_container(tmp_path, monkeypatch, data_root):
+    """Container resets wipe the gitignored .so; the loader must rebuild
+    it from source on first use instead of silently degrading every
+    consumer (incl. the round-end bench) to the PIL fallback."""
+    import shutil
+
+    src = native._SO_PATH.parent
+    build = tmp_path / "native"
+    build.mkdir()
+    for name in ("wsdata.cpp", "Makefile"):
+        shutil.copy(src / name, build / name)
+
+    monkeypatch.setattr(native, "_SO_PATH", build / "libwsdata.so")
+    monkeypatch.setattr(native, "_TRIED", False)
+    monkeypatch.setattr(native, "_LIB", None)
+    try:
+        assert native.available()  # triggers _autobuild + dlopen
+        assert (build / "libwsdata.so").exists()
+        p = data_root / "images" / "6.png"
+        out = native.decode_gray_batch([p], threads=1)
+        np.testing.assert_array_equal(out[0], imread_gray_u8(p))
+    finally:
+        # drop the handle to the temp .so so later tests reload the
+        # real one (monkeypatch restores _SO_PATH/_TRIED/_LIB refs)
+        native._LIB = None
+        native._TRIED = False

@@ -18,11 +18,33 @@ _SO_PATH = (pathlib.Path(__file__).resolve().parent.parent.parent /
             "native" / "libwsdata.so")
 
 
+def _autobuild():
+    """Build the .so from source on a cold container (container resets
+    wipe gitignored build products; the round-end bench must not
+    silently degrade to the PIL fallback).  The Makefile compiles to a
+    temp name and renames atomically, so a loader in another process
+    can never dlopen a half-written file."""
+    import shutil
+    import subprocess
+    if not (_SO_PATH.parent / "wsdata.cpp").exists() or \
+            shutil.which("make") is None:
+        return
+    try:
+        subprocess.run(
+            ["make", "-C", str(_SO_PATH.parent)], timeout=120,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            check=False)
+    except (OSError, subprocess.TimeoutExpired):
+        pass
+
+
 def _load():
     global _LIB, _TRIED
     if _TRIED:
         return _LIB
     _TRIED = True
+    if not _SO_PATH.exists():
+        _autobuild()
     if not _SO_PATH.exists():
         return None
     try:
