@@ -17,7 +17,7 @@ def _last_tpu_headline():
     nothing about the framework, so the JSON carries the last real
     number, clearly labeled by source."""
     here = pathlib.Path(__file__).resolve().parent
-    candidates = [here / "logs/bench_r4_postchain.json",
+    candidates = [here / "BENCH_r4_postchain.json",
                   here / "BENCH_r03.json"]
     for p in candidates:
         try:

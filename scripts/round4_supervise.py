@@ -137,7 +137,9 @@ def endgame() -> int:
              "Holdout detection tables from the completed round-4 fold "
              "zoo; README/PARITY quote holdout-vs-golden"], cwd=REPO)
         note(f"commit rc={crc}")
-    bench_out = REPO / "logs/bench_r4_postchain.json"
+    # repo root, NOT logs/: logs/ is gitignored, so `git add` there is
+    # refused and a container reset would wipe the snapshot
+    bench_out = REPO / "BENCH_r4_postchain.json"
     with open(bench_out, "w") as f:
         brc = subprocess.call([sys.executable, "bench.py"], cwd=REPO,
                               stdout=f)
