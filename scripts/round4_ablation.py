@@ -225,9 +225,12 @@ def stage_eval(new_run):
 
     # --- fresh sweeps: in-sample for every point + n=4 holdout
     folds, tags = [], []
+    # the pooled-frame label must contain "B0" so detect.roc's detector
+    # dispatch (scores_and_labels: 'B0' in name -> softmax score column)
+    # routes these rows to the B0 branch rather than WS beta_hat
     def spec(zoo, run):
-        return {"IN": dict(model_dir=zoo / "b0", stego_method="LSBR",
-                           model_name=run, lsbr_reference=False)}
+        return {"B0-abl": dict(model_dir=zoo / "b0", stego_method="LSBR",
+                               model_name=run, lsbr_reference=False)}
     if plain_b:
         folds.append(Fold(eval_split=POINTS[2][2],
                           b0s=spec(REPO / "models_foldb", plain_b)))
@@ -248,7 +251,7 @@ def stage_eval(new_run):
                                 stego_methods=("LSBR",))
         for fi, (n, kind, run) in enumerate(tags):
             sub = scores[scores["fold"] == f"fold{fi}"]
-            add(n, kind, run, _roc_rows(sub, "IN"),
+            add(n, kind, run, _roc_rows(sub, "B0-abl"),
                 "this sweep")
 
     df = pd.DataFrame(rows).sort_values(
