@@ -215,7 +215,7 @@ def _bench_e2e_decode(model, variables, batch_size: int = 32,
         for _ in range(repeats):
             for batch in iterate_batches(root, df[: len(df) // repeats],
                                          batch_size, prefetch=2,
-                                         cache=True):
+                                         cache=True, device_cache=True):
                 done.append(step(jnp.asarray(batch.pixels)))
         jax.block_until_ready(done)
         out["sweep_images_per_sec"] = round(

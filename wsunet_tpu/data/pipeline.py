@@ -52,11 +52,31 @@ _DECODE_CACHE_BUDGET = 1 << 30  # 1 GiB of decoded pixels
 _DECODE_CACHE_LOCK = threading.Lock()
 
 
+# device-resident BATCH cache for the eval sweeps: the roc/detector
+# sweeps re-visit the same catalog once per (model, method, alpha)
+# configuration, and on this host the repeat passes are bound by batch
+# re-assembly (np.stack + per-name resolve_path) and the tunneled
+# host->device transfer (~38 MB/s measured), not by decode — measured
+# 135 img/s assembly-only and 145 img/s transfer-only vs 430 img/s
+# device compute at batch 32.  Caching the transferred uint8 batch
+# (pixels are identical across sweep configurations; the stego plane is
+# synthesized on device) lets every pass after the first start at the
+# device, skipping decode, assembly, AND the PCIe/tunnel copy.  Opt-in
+# (eval sweeps + bench): training keeps host batches so HBM stays free
+# for activations.  Keyed by (root, reader, batch names); bounded by
+# bytes like the decode cache.
+_DEVICE_CACHE: dict = {}
+_DEVICE_CACHE_BYTES = 0
+_DEVICE_CACHE_BUDGET = 256 << 20  # 256 MiB of HBM for cached batches
+
+
 def clear_decode_cache():
-    global _DECODE_CACHE_BYTES
+    global _DECODE_CACHE_BYTES, _DEVICE_CACHE_BYTES
     with _DECODE_CACHE_LOCK:
         _DECODE_CACHE.clear()
         _DECODE_CACHE_BYTES = 0
+        _DEVICE_CACHE.clear()
+        _DEVICE_CACHE_BYTES = 0
 
 
 def _decode_many(paths, reader, threads: int,
@@ -163,18 +183,35 @@ def iterate_batches(
     threads: int = 8,
     prefetch: int = 1,
     cache: bool = False,
+    device_cache: bool = False,
 ) -> typing.Iterator[Batch]:
     """Yield fixed-size padded Batches over catalog rows, with background
-    decode of the next batch overlapping device compute on the current one."""
+    decode of the next batch overlapping device compute on the current one.
+
+    With ``device_cache=True`` (eval sweeps, bench) the padded uint8
+    batch is also memoized ON DEVICE, so a sweep's second and later
+    passes over the same catalog slice yield ``Batch.pixels`` as a
+    ready jax.Array — ``jnp.asarray`` in the consumer is then a no-op
+    and decode/assembly/transfer are all skipped.  Batches containing a
+    failed decode are never device-cached (same rule as the host decode
+    cache)."""
     rows = df.reset_index(drop=True)
     n = len(rows)
     if n == 0:
         return
 
     def make(start: int) -> Batch:
+        global _DEVICE_CACHE_BYTES
         stop = min(start + batch_size, n)
         chunk = rows.iloc[start:stop]
         names = list(chunk["name"])
+        if device_cache:
+            dkey = (str(root), getattr(reader, "__name__", repr(reader)),
+                    batch_size, tuple(names))
+            with _DECODE_CACHE_LOCK:
+                hit = _DEVICE_CACHE.get(dkey)
+            if hit is not None:
+                return Batch(pixels=hit[0], mask=hit[1].copy(), rows=chunk)
         paths = [resolve_path(root, nm) for nm in names]
         decoded = _decode_many(paths, reader, threads, cache=cache)
         mask = np.ones(batch_size, dtype=bool)
@@ -194,6 +231,16 @@ def iterate_batches(
             pixels = np.concatenate(
                 [pixels, np.repeat(pixels[:1], pad, axis=0)], axis=0)
             mask[len(names):] = False
+        if device_cache and bool(mask[: len(names)].all()):
+            import jax
+            dev = jax.device_put(pixels)
+            with _DECODE_CACHE_LOCK:
+                if (dkey not in _DEVICE_CACHE
+                        and _DEVICE_CACHE_BYTES + pixels.nbytes
+                        <= _DEVICE_CACHE_BUDGET):
+                    _DEVICE_CACHE[dkey] = (dev, mask.copy())
+                    _DEVICE_CACHE_BYTES += pixels.nbytes
+            return Batch(pixels=dev, mask=mask, rows=chunk)
         return Batch(pixels=pixels, mask=mask, rows=chunk)
 
     starts = list(range(0, n, batch_size))

@@ -91,7 +91,7 @@ def get_b0_detector(
 def _score_frame(root, df, detect, batch_size, threads) -> pd.DataFrame:
     frames = []
     for batch in iterate_batches(root, df, batch_size, threads=threads,
-                                 prefetch=2, cache=True):
+                                 prefetch=2, cache=True, device_cache=True):
         scores = np.asarray(detect(jnp.asarray(
             batch.pixels).astype(jnp.float32)))
         out = batch.rows.copy()

@@ -91,7 +91,8 @@ def run(
         rows = []
         for batch in iterate_batches(input_dir, df, batch_size,
                                      reader=reader, threads=threads,
-                                     prefetch=2, cache=True):
+                                     prefetch=2, cache=True,
+                                     device_cache=True):
             mae, wmae = step(jnp.asarray(batch.pixels))
             mae, wmae = np.asarray(mae), np.asarray(wmae)
             for i, (_, row) in enumerate(batch.rows.iterrows()):

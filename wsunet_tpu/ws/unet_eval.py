@@ -96,7 +96,7 @@ def _predict_frame(
 
     frames = []
     for batch in iterate_batches(root, df, batch_size, threads=threads,
-                                 prefetch=2, cache=True):
+                                 prefetch=2, cache=True, device_cache=True):
         beta, l1 = step(jnp.asarray(batch.pixels))
         beta, l1 = np.asarray(beta), np.asarray(l1)
         out = batch.rows.copy()
