@@ -96,17 +96,48 @@ def _bench_ws_fused(iters: int = 50, batch_size: int = 128) -> dict:
             parity[f"{kname}_w{weighted}"] = float(
                 np.max(np.abs(fused - xla)))
 
-    step = jax.jit(lambda p: ws_attack_fused(p, "KB", weighted=0))
-    jax.block_until_ready(step(pixels))
-    t0 = time.perf_counter()
-    out = [step(pixels) for _ in range(iters)]
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    # Time the kernel FOLDED ON DEVICE (one dispatch), not as `iters`
+    # host dispatches: each dispatch rides the axon tunnel, whose RTT
+    # jitter made the old reading swing 97k-132k img/s run to run while
+    # the chip did the same work — the kernel itself runs ~0.47 ms per
+    # 128-image batch, far below the tunnel floor.  The pixels are
+    # carried through the loop with a roll so XLA cannot hoist the
+    # loop-invariant pallas call (verified: without the carry the whole
+    # loop collapses to one call); a roll-only twin loop is timed and
+    # subtracted so neither the roll nor the one dispatch RTT is
+    # charged to the kernel.  NOTE: block_until_ready on the loop's
+    # tuple output returns early under the axon backend — materialize a
+    # scalar (float(...)) to actually fence.
+    def timed(with_kernel: bool) -> float:
+        @jax.jit
+        def loop(p):
+            def body(i, carry):
+                acc, q = carry
+                if with_kernel:
+                    acc = acc + ws_attack_fused(q, "KB", weighted=0).sum()
+                else:
+                    acc = acc + q[0, 0, 0].astype(jnp.float32)
+                return (acc, jnp.roll(q, 1, axis=0))
+            acc, q = jax.lax.fori_loop(
+                0, iters, body, (jnp.float32(0), p))
+            return acc + q[0, 0, 0].astype(jnp.float32)
+
+        float(loop(pixels))  # compile outside the clock
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(loop(pixels))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    dt = max(timed(True) - timed(False), 1e-9)
     ips = batch_size * iters / dt
-    # throughput floor (VERDICT r3 weak-point 6): measured 124.9k (r2) /
-    # 118.4k (r3) img/s — a drop below 110k is a real regression, not
-    # noise, and must be surfaced deliberately rather than drift silently
-    floor = 110_000.0
+    # throughput floor (VERDICT r3 weak-point 6): the device-folded
+    # measurement reads ~267k img/s on the same kernel the dispatch
+    # loop read as 118-132k (r2/r3 numbers were tunnel-bound, not
+    # kernel-bound) — a drop below 200k is a real kernel regression
+    # and must be surfaced deliberately rather than drift silently
+    floor = 200_000.0
     return {
         "images_per_sec": round(ips, 1),
         "floor_images_per_sec": floor,
