@@ -43,6 +43,32 @@ def test_l1ws_is_sum():
     np.testing.assert_allclose(float(both), float(l1) + float(ws), rtol=1e-6)
 
 
+def test_l1ws_weighted_anchor_form():
+    """The reference anchor's lambda composite 2*(lam*L1 + (1-lam)*WS)
+    (losses.py:117, recorded as loss_lambda=0.25 in every shipped UNet
+    config).  lam=0.5 must reduce exactly to the live unweighted sum."""
+    rng = np.random.default_rng(2)
+    inputs = rng.uniform(size=(2, 8, 8, 1)).astype("float32")
+    outputs = rng.uniform(size=(2, 8, 8, 1)).astype("float32")
+    covers = rng.uniform(size=(2, 8, 8, 1)).astype("float32")
+    alphas = np.array([0.0, 0.4], dtype="float32")
+    args = (jnp.asarray(outputs), jnp.asarray(covers),
+            jnp.asarray(inputs), jnp.asarray(alphas))
+    l1 = get_loss("l1", per_image=True)(*args)
+    ws = get_loss("ws", per_image=True)(*args)
+    w25 = get_loss("l1ws", per_image=True, loss_lambda=0.25)(*args)
+    np.testing.assert_allclose(
+        np.asarray(w25), 2 * (0.25 * np.asarray(l1) + 0.75 * np.asarray(ws)),
+        rtol=1e-6)
+    w50 = get_loss("l1ws", per_image=True, loss_lambda=0.5)(*args)
+    unw = get_loss("l1ws", per_image=True)(*args)
+    np.testing.assert_allclose(np.asarray(w50), np.asarray(unw), rtol=1e-6)
+    # scalar variant reduces over the batch
+    s = get_loss("l1ws", loss_lambda=0.25)(*args)
+    np.testing.assert_allclose(float(s), float(np.mean(np.asarray(w25))),
+                               rtol=1e-6)
+
+
 def test_unknown_loss_raises():
     with pytest.raises(NotImplementedError):
         get_loss("focal")

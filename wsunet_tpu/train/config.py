@@ -37,6 +37,11 @@ class UNetTrainConfig:
     alpha: typing.Optional[float] = 0.4
     loss: str = "l1ws"
     loss_lambda: float = 0.25
+    # False keeps the reference's live unweighted L1+WS sum
+    # (losses.py:114-115); True applies the anchor checkpoints' recorded
+    # lambda form 2*(lambda*L1+(1-lambda)*WS) (losses.py:117, commented
+    # but encoded in every shipped config.json/run name)
+    weighted_loss: bool = False
     learning_rate: float = 1e-4
     lr_schedule: typing.Optional[str] = None   # None | "cosine"
     select_metric: str = "loss"                # "loss" | "ws" | "last"

@@ -185,7 +185,9 @@ def train(config: dict, data_path: pathlib.Path, output_dir: pathlib.Path):
         cfg["network"], drop_rate=cfg["drop_rate"],
         disable_center=cfg["disable_center"],
         compute_dtype=jnp.dtype(cfg["compute_dtype"]))
-    loss_fn = get_loss(cfg["loss"], per_image=True)
+    loss_fn = get_loss(
+        cfg["loss"], per_image=True,
+        loss_lambda=cfg["loss_lambda"] if cfg.get("weighted_loss") else None)
 
     df_tr = precovers(data_path, split=cfg["tr_csv"])
     df_va = precovers(data_path, split=cfg["va_csv"])
