@@ -184,6 +184,7 @@ def iterate_batches(
     prefetch: int = 1,
     cache: bool = False,
     device_cache: bool = False,
+    sharding=None,
 ) -> typing.Iterator[Batch]:
     """Yield fixed-size padded Batches over catalog rows, with background
     decode of the next batch overlapping device compute on the current one.
@@ -194,7 +195,17 @@ def iterate_batches(
     ready jax.Array — ``jnp.asarray`` in the consumer is then a no-op
     and decode/assembly/transfer are all skipped.  Batches containing a
     failed decode are never device-cached (same rule as the host decode
-    cache)."""
+    cache).  ``sharding`` (a jax Sharding) controls the device placement
+    of cached batches — the mesh-sharded eval sweeps pass their batch
+    sharding so cached batches land already distributed over the eval
+    mesh; it is part of the cache key, so sweeps pinned to different
+    device subsets never serve each other's placements.
+
+    Cover images are assumed immutable for the process lifetime (both
+    caches key by path, not content/mtime): the catalogs under
+    /root/reference/data and data_ablation/ never change in place.  Call
+    ``clear_decode_cache()`` if a path is ever re-generated mid-process
+    (ADVICE r4), e.g. after data_ablation regeneration."""
     rows = df.reset_index(drop=True)
     n = len(rows)
     if n == 0:
@@ -207,7 +218,7 @@ def iterate_batches(
         names = list(chunk["name"])
         if device_cache:
             dkey = (str(root), getattr(reader, "__name__", repr(reader)),
-                    batch_size, tuple(names))
+                    batch_size, tuple(names), str(sharding))
             with _DECODE_CACHE_LOCK:
                 hit = _DEVICE_CACHE.get(dkey)
             if hit is not None:
@@ -233,7 +244,8 @@ def iterate_batches(
             mask[len(names):] = False
         if device_cache and bool(mask[: len(names)].all()):
             import jax
-            dev = jax.device_put(pixels)
+            dev = jax.device_put(pixels) if sharding is None else \
+                jax.device_put(pixels, sharding)
             with _DECODE_CACHE_LOCK:
                 if (dkey not in _DEVICE_CACHE
                         and _DEVICE_CACHE_BYTES + pixels.nbytes

@@ -77,10 +77,12 @@ def get_b0_detector(
     **_ignored,
 ):
     """Detector callable [B, H, W] f32 -> scores [B]
-    (parity: detector/evaluate.py:83-97)."""
+    (parity: detector/evaluate.py:83-97).  Compiled with the batch axis
+    sharded over every visible device (VERDICT r4 item 1)."""
+    from ..parallel import jit_sharded
     model, variables, _ = load_pretrained_b0(model_dir, model_name)
 
-    @jax.jit
+    @jit_sharded
     def detect(x):
         return infer_b0(model, variables, x,
                         use_lsbr_reference=lsbr_reference)
@@ -89,17 +91,33 @@ def get_b0_detector(
 
 
 def _score_frame(root, df, detect, batch_size, threads) -> pd.DataFrame:
+    """Mesh-sharded scoring sweep: batch axis over all devices, strided
+    row shards per host (cf. ws/estimate.attack_sweep — replaces the
+    reference's serial per-image loop, detector/evaluate.py:61-80)."""
+    from ..parallel import (
+        allgather_rows, batch_sharding, cache_on_device, fetch_rows,
+        host_shard, place, round_batch)
+
+    df_local, n_true = host_shard(df)
+    batch_size = round_batch(batch_size)
+    dev_cache = cache_on_device()
     frames = []
-    for batch in iterate_batches(root, df, batch_size, threads=threads,
-                                 prefetch=2, cache=True, device_cache=True):
-        scores = np.asarray(detect(jnp.asarray(
-            batch.pixels).astype(jnp.float32)))
+    for batch in iterate_batches(root, df_local, batch_size,
+                                 threads=threads, prefetch=2, cache=True,
+                                 device_cache=dev_cache,
+                                 sharding=batch_sharding()
+                                 if dev_cache else None):
+        scores = fetch_rows(detect(
+            place(batch.pixels).astype(jnp.float32)))
         out = batch.rows.copy()
         m = batch.mask[: len(out)]
         out["output"] = np.where(m, scores[: len(out)], np.nan)
-        out["prediction"] = out["output"] > 0.5
         frames.append(out)
-    return pd.concat(frames).reset_index(drop=True)
+    local = pd.concat(frames).reset_index(drop=True).iloc[:n_true]
+    out = df.reset_index(drop=True).copy()
+    out["output"] = allgather_rows(local["output"].to_numpy(), len(out))
+    out["prediction"] = out["output"] > 0.5
+    return out
 
 
 def run(

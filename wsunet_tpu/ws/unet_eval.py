@@ -85,26 +85,45 @@ def get_unet_estimator(
 def _predict_frame(
     root, df, model, variables, batch_size: int, threads: int
 ) -> pd.DataFrame:
-    """Per-image (beta_hat, l1) over catalog rows."""
+    """Per-image (beta_hat, l1) over catalog rows.
 
-    @jax.jit
+    Mesh-sharded (VERDICT r4 item 1): the inference step's batch axis is
+    sharded over every visible device and under multi-host each process
+    handles its strided row shard (cf. ws/estimate.attack_sweep), the
+    TPU replacement for the reference's per-image loop
+    (src/unet/evaluate.py:142-149)."""
+    from ..parallel import (
+        allgather_rows, batch_sharding, cache_on_device, fetch_rows,
+        host_shard, jit_sharded, place, round_batch)
+
+    @jit_sharded
     def step(pixels):
         x = pixels.astype(jnp.float32)
         x_hat = infer_unet(model, variables, x)
         xc = center_crop(x[..., None], 512)[..., 0]
         return ws_estimate_unet(xc, x_hat)
 
+    df_local, n_true = host_shard(df)
+    batch_size = round_batch(batch_size)
+    dev_cache = cache_on_device()
     frames = []
-    for batch in iterate_batches(root, df, batch_size, threads=threads,
-                                 prefetch=2, cache=True, device_cache=True):
-        beta, l1 = step(jnp.asarray(batch.pixels))
-        beta, l1 = np.asarray(beta), np.asarray(l1)
+    for batch in iterate_batches(root, df_local, batch_size,
+                                 threads=threads, prefetch=2, cache=True,
+                                 device_cache=dev_cache,
+                                 sharding=batch_sharding()
+                                 if dev_cache else None):
+        out_dev = step(place(batch.pixels))
+        beta, l1 = fetch_rows(out_dev[0]), fetch_rows(out_dev[1])
         out = batch.rows.copy()
         m = batch.mask[: len(out)]
         out["beta_hat"] = np.where(m, beta[: len(out)], np.nan)
         out["l1"] = np.where(m, l1[: len(out)], np.nan)
         frames.append(out)
-    return pd.concat(frames).reset_index(drop=True)
+    local = pd.concat(frames).reset_index(drop=True).iloc[:n_true]
+    out = df.reset_index(drop=True).copy()
+    for col in ("beta_hat", "l1"):
+        out[col] = allgather_rows(local[col].to_numpy(), len(out))
+    return out
 
 
 def run(
