@@ -44,3 +44,21 @@ def test_sobel_locations_match_reference_points(data_root):
     assert locs["gv_max"][:2] == (261, 64)
     assert locs["g_max"][:2] == (155, 381)
     assert locs["g_min"][:2] == (9, 25)
+
+
+def test_saliency_dots_artifact_matches_golden(data_root, results_root,
+                                               tmp_path):
+    """saliency_image_dots.png (VERDICT r4 item 8): the interesting-points
+    overlay must match the reference artifact pixel-for-pixel
+    (saliency.py:89-96)."""
+    import numpy as np
+    from PIL import Image
+    from wsunet_tpu.analyses.saliency import render_dots
+
+    out = render_dots(data_root / "images" / "6.png",
+                      tmp_path / "saliency_image_dots.png")
+    got = np.asarray(Image.open(out).convert("RGB"))
+    want = np.asarray(Image.open(
+        results_root / "prediction" / "saliency_image_dots.png"
+    ).convert("RGB"))
+    np.testing.assert_array_equal(got, want)

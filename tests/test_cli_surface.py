@@ -35,6 +35,16 @@ def test_missing_model_dir_is_a_user_error(tmp_path):
     assert "unet-eval" in str(e.value)
 
 
+def test_saliency_cli_produces_grid_and_dots(tmp_path):
+    """The saliency command writes BOTH artifacts: the 2x2 grid and the
+    interesting-points overlay (VERDICT r4 item 8)."""
+    cli(["saliency", "--data", "/root/reference/data",
+         "--results", str(tmp_path), "--model-dir", "models/unet",
+         "--points", "[[307, 10]]"])
+    assert (tmp_path / "prediction" / "saliency_LSBR.png").exists()
+    assert (tmp_path / "prediction" / "saliency_image_dots.png").exists()
+
+
 def test_split_take_rejected_where_meaningless(tmp_path):
     with pytest.raises(SystemExit) as e:
         cli(["saliency", "--data", "/root/reference/data",

@@ -42,6 +42,24 @@ def sobel_locations(fname: pathlib.Path) -> typing.Dict[str, tuple]:
     }
 
 
+def render_dots(fname: pathlib.Path, outfile: pathlib.Path) -> pathlib.Path:
+    """``saliency_image_dots.png``: the cover with the four interesting
+    points marked as single red pixels (parity: saliency.py:89-96 inside
+    get_locations — the reference applies the valid-conv grid indices to
+    the full image without the +1 border offset; reproduced as-is so the
+    artifact matches pixel-for-pixel)."""
+    from PIL import Image
+
+    x = imread_gray_u8(fname)
+    y = np.repeat(x[..., None] if x.ndim == 2 else x, 3, axis=-1)
+    for loc in sobel_locations(fname).values():
+        y[loc[:2]] = [255, 0, 0]
+    outfile = pathlib.Path(outfile)
+    outfile.parent.mkdir(parents=True, exist_ok=True)
+    Image.fromarray(y).save(outfile)
+    return outfile
+
+
 def unet_saliency(
     fname: pathlib.Path,
     i: int,

@@ -130,7 +130,14 @@ def _bench_ws_fused(iters: int = 50, batch_size: int = 128) -> dict:
             best = min(best, time.perf_counter() - t0)
         return best
 
-    dt = max(timed(True) - timed(False), 1e-9)
+    t_kernel, t_roll = timed(True), timed(False)
+    # measurement sanity (ADVICE r4): if the roll-only twin is not
+    # clearly cheaper than the kernel loop, the subtraction is noise and
+    # a clamped dt would report an astronomical rate with floor_ok=true,
+    # silently defeating the regression tripwire — fail the floor
+    # instead and publish both raw times for the record
+    measured_ok = t_kernel > 1.2 * t_roll
+    dt = max(t_kernel - t_roll, 1e-9)
     ips = batch_size * iters / dt
     # throughput floor (VERDICT r3 weak-point 6): the device-folded
     # measurement reads ~267k img/s on the same kernel the dispatch
@@ -141,7 +148,10 @@ def _bench_ws_fused(iters: int = 50, batch_size: int = 128) -> dict:
     return {
         "images_per_sec": round(ips, 1),
         "floor_images_per_sec": floor,
-        "floor_ok": bool(ips >= floor),
+        "floor_ok": bool(measured_ok and ips >= floor),
+        "measurement_ok": bool(measured_ok),
+        "t_kernel_s": round(t_kernel, 6),
+        "t_roll_s": round(t_roll, 6),
         "max_abs_diff_vs_xla": max(parity.values()),
         "parity_by_mode": {k: round(v, 9) for k, v in parity.items()},
     }
@@ -384,6 +394,17 @@ def run_bench(dtype: str = "bfloat16", iters: int = 20,
         out["fast_conv_error"] = fast_conv_error
     if peak:
         out["mfu"] = round(flops_per_exec * iters / dt / peak, 4)
+    if device.platform == "tpu":
+        # headline floor guards (VERDICT r4 item 6, mirroring the
+        # ws_fused/decode_only guards): r4 measured 700.5 img/s at MFU
+        # 0.727 on the borderfix path — a drop below 650 / 0.70 means a
+        # real regression (e.g. a silent borderfix compile downgrade)
+        # and must be flagged deliberately, not shipped as drift
+        out["floor_value"] = 650.0
+        out["floor_mfu"] = 0.70
+        out["floor_ok"] = bool(
+            ips >= out["floor_value"]
+            and out.get("mfu", 0.0) >= out["floor_mfu"])
     # single-image serving latency: the dedicated batch-1 path (serve.py
     # — bf16 stack, fixed shape), reported with the
     # transport floor so the number is readable net of the tunneled axon

@@ -294,13 +294,17 @@ def _dispatch(args):
             print("saved", plot_contour(fname, d, model, outdir))
 
     elif cmd == "saliency":
-        from .analyses.saliency import plot_saliency_grid
+        from .analyses.saliency import plot_saliency_grid, render_dots
         out = (args.results / "prediction" /
                f"saliency_{args.stego_method}.png")
         plot_saliency_grid(args.data / args.image, args.model_dir,
                            args.stego_method,
                            [tuple(p) for p in args.points], out)
         print(f"output saved to {out}")
+        dots = render_dots(args.data / args.image,
+                           args.results / "prediction" /
+                           "saliency_image_dots.png")
+        print(f"output saved to {dots}")
 
     elif cmd == "init-dataset":
         from .data.init_dataset import init_dataset
