@@ -27,10 +27,11 @@ CHAIN_PID = pathlib.Path("/tmp/round5_chain.pid")
 # Absolute cutoff: the TPU is exclusive to one process, so a chain still
 # training when the round-end bench runs would block BENCH_r05 behind
 # hours of training.  Round started 2026-08-18 ~23:40 UTC -> round end
-# ~11:40 UTC; kill at 09:10 UTC (epoch below), leaving ~2.5 h for the
-# end-game regen + bench.  Every sub-stage checkpoints continuously and
-# resumes from log markers, so a kill loses nothing but the tail stage.
-CHAIN_CUTOFF_EPOCH = 1_787_130_600
+# ~11:40 UTC; kill at 09:45 UTC (epoch below), leaving ~2 h for the
+# end-game regen (~40 min in round 4) + bench.  Every sub-stage
+# checkpoints continuously and resumes from log markers, so a kill
+# loses nothing but the tail stage.
+CHAIN_CUTOFF_EPOCH = 1_787_132_700
 
 STAGE_DONE = [f"STAGE-DONE {t}:" for t in TERMINAL]
 

@@ -35,10 +35,58 @@ def test_measure_latency_reports_floor():
                            jnp.zeros((1, 64, 64, 1), jnp.float32))
     server = UNetWSServer(model, variables, size=64)
     out = measure_latency(server, reps=3)
-    assert set(out) == {"latency_ms_b1", "rtt_floor_ms",
-                        "latency_ms_b1_net"}
+    assert {"latency_ms_b1", "rtt_floor_ms", "latency_ms_b1_net",
+            "serial_images_per_sec", "streamed_images_per_sec",
+            "stream_speedup"} <= set(out)
     assert out["latency_ms_b1"] > 0
     assert out["latency_ms_b1_net"] <= out["latency_ms_b1"]
+    assert out["streamed_images_per_sec"] > 0
+
+
+def test_predict_many_matches_serial_order():
+    """The pipelined streaming path (VERDICT r4 item 9) must return the
+    exact serial results, in order."""
+    model = get_model("unet_0")
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 1), jnp.float32))
+    server = UNetWSServer(model, variables, size=64)
+    rng = np.random.default_rng(1)
+    imgs = [rng.integers(0, 256, (64, 64), dtype=np.uint8)
+            for _ in range(9)]
+    serial = [server.predict(im) for im in imgs]
+    streamed = list(server.predict_many(iter(imgs), depth=3))
+    np.testing.assert_allclose(np.asarray(streamed), np.asarray(serial))
+
+
+def test_stream_paths_pipelined_errors_inline(tmp_path):
+    """stream_paths keeps the serve-loop contract under pipelining:
+    per-image failures (missing file, wrong shape) yield inline error
+    rows keyed to the right name, results stay in input order."""
+    from PIL import Image
+    from wsunet_tpu.serve import stream_paths
+
+    model = get_model("unet_0")
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 1), jnp.float32))
+    server = UNetWSServer(model, variables, size=64)
+
+    rng = np.random.default_rng(2)
+    good = []
+    for i in range(3):
+        p = tmp_path / f"g{i}.png"
+        Image.fromarray(rng.integers(0, 256, (64, 64), dtype=np.uint8),
+                        mode="L").save(p)
+        good.append(str(p))
+    bad_shape = tmp_path / "bad.png"
+    Image.fromarray(rng.integers(0, 256, (32, 32), dtype=np.uint8),
+                    mode="L").save(bad_shape)
+    paths = [good[0], str(tmp_path / "missing.png"), good[1],
+             str(bad_shape), good[2]]
+    rows = list(stream_paths(server, paths, depth=2))
+    assert [r["name"] for r in rows] == paths
+    assert "beta_hat" in rows[0] and "beta_hat" in rows[2] \
+        and "beta_hat" in rows[4]
+    assert "error" in rows[1] and "error" in rows[3]
 
 
 def test_cli_serve_roundtrip(tmp_path, capsys):

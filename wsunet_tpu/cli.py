@@ -365,9 +365,19 @@ def _cmd_serve(args):
         print(json.dumps(measure_latency(server)))
         return 0
 
-    paths = ([str(p) for p in args.images] if args.images
-             else (line.strip() for line in _sys.stdin))
-    for path in paths:
+    if args.images:
+        # batch of known paths: the pipelined streaming loop overlaps
+        # decode + host->device transfer with device compute (serve.
+        # stream_paths; VERDICT r4 item 9); per-image failures still
+        # surface as inline error lines
+        from .serve import stream_paths
+        for out in stream_paths(server, [str(p) for p in args.images]):
+            print(json.dumps(out), flush=True)
+        return 0
+    # interactive/pipe loop stays serial: each stdin line is answered
+    # before the next is read (a pipelined pipe would hold responses
+    # back ``depth`` lines)
+    for path in (line.strip() for line in _sys.stdin):
         if not path:
             continue
         try:

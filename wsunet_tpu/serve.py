@@ -69,6 +69,97 @@ class UNetWSServer:
         beta, l1 = self._step(x)
         return float(beta), float(l1)
 
+    def predict_many(self, images: typing.Iterable[np.ndarray],
+                     depth: int = 4) -> typing.Iterator[
+                         typing.Tuple[float, float]]:
+        """Pipelined streaming inference (VERDICT r4 item 9): JAX
+        dispatch is asynchronous, so keeping ``depth`` requests in
+        flight overlaps each image's host->device transfer and the
+        dispatch round trip with device compute on the ones ahead of it
+        — the serial ``predict`` loop instead pays the full blocking
+        round trip (~25-30 ms over the tunneled axon transport) per
+        image.  Results yield in order; only the pop blocks."""
+        import collections
+        q = collections.deque()
+        for img in images:
+            x = jnp.asarray(np.asarray(img, np.uint8)[None])
+            q.append(self._step(x))  # async dispatch, no fence
+            while len(q) >= depth:
+                beta, l1 = q.popleft()
+                yield float(beta), float(l1)
+        while q:
+            beta, l1 = q.popleft()
+            yield float(beta), float(l1)
+
+
+def stream_paths(server: UNetWSServer, paths: typing.Iterable[str],
+                 reader: typing.Callable = None, threads: int = 2,
+                 depth: int = 4) -> typing.Iterator[dict]:
+    """Streaming serve loop over image paths: background-threaded decode
+    feeds the pipelined ``predict_many`` dispatch, so decode, transfer,
+    and device compute all overlap.  Yields one dict per path in order —
+    ``{"name", "beta_hat", "l1"}`` or ``{"name", "error"}`` — and never
+    aborts on a per-image failure (the serve loop's contract)."""
+    import collections
+    import concurrent.futures as futures
+
+    if reader is None:
+        from .io.imread import imread_gray_u8
+        reader = imread_gray_u8
+
+    def decode(path):
+        img = reader(path)
+        if img.ndim == 3:
+            img = img[..., 0]
+        if img.shape != (server.size, server.size):
+            raise ValueError(
+                f"expected {server.size}x{server.size}, got "
+                f"{img.shape[0]}x{img.shape[1]} (one compiled serving "
+                "shape; restart with --size to change)")
+        return img
+
+    def fence(name, pending):
+        try:
+            beta, l1 = pending
+            return {"name": name, "beta_hat": float(beta),
+                    "l1": float(l1)}
+        except Exception as e:  # noqa: BLE001 — mid-stream transport
+            # errors surface inline, keyed to the right image
+            return {"name": name,
+                    "error": f"{type(e).__name__}: {str(e)[:300]}"}
+
+    # one ordered queue carries BOTH dispatched requests and decode
+    # failures, so rows always yield in input order (a decode error must
+    # not jump ahead of earlier in-flight successes)
+    q = collections.deque()
+    with futures.ThreadPoolExecutor(max_workers=threads) as pool:
+        dq = collections.deque()
+        it = iter(paths)
+        done = False
+        while True:
+            while not done and len(dq) < depth:
+                try:
+                    path = next(it)
+                except StopIteration:
+                    done = True
+                    break
+                dq.append((path, pool.submit(decode, path)))
+            if not dq and not q:
+                break
+            if dq:
+                name, fut = dq.popleft()
+                try:
+                    img = fut.result()
+                    x = jnp.asarray(img[None])
+                    q.append((name, ("ok", server._step(x))))  # async
+                except Exception as e:  # noqa: BLE001
+                    q.append((name, ("err", {
+                        "name": name,
+                        "error": f"{type(e).__name__}: {str(e)[:300]}"})))
+            while len(q) >= depth or (done and not dq and q):
+                name, (kind, payload) = q.popleft()
+                yield payload if kind == "err" else fence(name, payload)
+
 
 def measure_latency(server: UNetWSServer, reps: int = 30) -> dict:
     """Median blocking latency of the serving step, plus the transport
@@ -97,4 +188,34 @@ def measure_latency(server: UNetWSServer, reps: int = 30) -> dict:
         "latency_ms_b1": round(med, 2),
         "rtt_floor_ms": round(floor, 2),
         "latency_ms_b1_net": round(max(med - floor, 0.0), 2),
+        **measure_streaming(server),
+    }
+
+
+def measure_streaming(server: UNetWSServer, n: int = 48) -> dict:
+    """Streamed vs serial serving throughput (VERDICT r4 item 9): the
+    pipelined loop must beat 1/latency because the per-image transfer +
+    dispatch round trip overlaps compute instead of being paid serially.
+    Distinct host images per request (fresh transfers, like real
+    traffic)."""
+    rng = np.random.default_rng(0)
+    imgs = [rng.integers(0, 256, (server.size, server.size), dtype=np.uint8)
+            for _ in range(n)]
+    # warm both paths at shape
+    server.predict(imgs[0])
+
+    t0 = time.perf_counter()
+    serial = [server.predict(im) for im in imgs]
+    dt_serial = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    streamed = list(server.predict_many(iter(imgs)))
+    dt_stream = time.perf_counter() - t0
+
+    assert np.allclose(np.asarray(serial), np.asarray(streamed)), \
+        "pipelined serving changed results"
+    return {
+        "serial_images_per_sec": round(n / dt_serial, 1),
+        "streamed_images_per_sec": round(n / dt_stream, 1),
+        "stream_speedup": round(dt_serial / dt_stream, 2),
     }
