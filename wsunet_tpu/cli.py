@@ -180,7 +180,16 @@ def main(argv=None):
     with profile(os.environ.get("WSUNET_PROFILE")), \
             nan_check(os.environ.get("WSUNET_DEBUG_NANS") == "1"):
         try:
-            return _dispatch(args)
+            try:
+                return _dispatch(args)
+            finally:
+                # release the HBM held by device-cached eval batches as
+                # soon as the sweep is over (ADVICE r4) — the host
+                # decode cache stays, it costs RAM not HBM
+                if args.command in ("roc", "ws-eval", "unet-eval",
+                                    "detector-eval", "filters-eval"):
+                    from .data.pipeline import clear_device_cache
+                    clear_device_cache()
         except (UserError, FileNotFoundError) as e:
             # registry misses / missing data dirs are user errors, not
             # bugs; JAX/XLA RuntimeErrors (device/compile failures) keep

@@ -79,6 +79,17 @@ def clear_decode_cache():
         _DEVICE_CACHE_BYTES = 0
 
 
+def clear_device_cache():
+    """Release the HBM held by device-resident cached batches without
+    dropping the host decode cache (ADVICE r4: long-lived processes —
+    the CLI sweep drivers call this when a sweep finishes so up to
+    256 MiB of eval batches don't pin HBM for the process lifetime)."""
+    global _DEVICE_CACHE_BYTES
+    with _DECODE_CACHE_LOCK:
+        _DEVICE_CACHE.clear()
+        _DEVICE_CACHE_BYTES = 0
+
+
 def _decode_many(paths, reader, threads: int,
                  cache: bool = False) -> typing.List[np.ndarray]:
     """Decode all paths; failed decodes yield None entries (the reference's
