@@ -123,8 +123,11 @@ def main(results: bool = True) -> int:
                           cwd=REPO)
     arc = subprocess.call([sys.executable, "scripts/round5_ablation.py"],
                           cwd=REPO)
-    print(f"finish: publish rc={prc} ablation rc={arc}", flush=True)
-    return prc or arc
+    urc = subprocess.call([sys.executable, "scripts/round5_unet_sweep.py"],
+                          cwd=REPO)
+    print(f"finish: publish rc={prc} ablation rc={arc} unet-sweep rc={urc}",
+          flush=True)
+    return prc or arc or urc
 
 
 if __name__ == "__main__":
