@@ -233,20 +233,20 @@ Golden reference: AUC **{g_auc:.3f}** / P_E {g_pe:.3f} — trained on
   claim rests on n ∈ {{2, 3}} and on the diagnosis below.
 - **Generalization across cover content is the bound.**  The companion
   diagnosis `docs/NSR_HOLDOUT_DIAGNOSIS.md` shows the strongest
-  detector variant (oracle-plane ns-r-B0) ranks every stego above its
-  own cover *within* every cover at every α — including covers it never
-  saw — while its absolute score levels collapse across unseen covers;
-  the pooled sub-chance holdout AUC is that calibration failure, not a
-  missing detection statistic.
+  detector variant (oracle-plane ns-r-B0) detects cleanly in-sample but
+  pins every UNSEEN cover to a saturated constant — fold A ≈ 1.0,
+  fold B ≈ 0.0, for cover and stego alike — a cover-conditioned
+  confidence collapse; the pooled sub-chance holdout AUC (0.333) is the
+  artifact of pooling those two oppositely-saturated score scales, not
+  an inverted detector and not a pipeline bug.
 - **The framework is not the bound** (evidence its own tables support):
   (i) the weight-free `KB-w` row in the published holdout table reaches
   AUC 1.000 / P_E 0.000 through the same WS/eval stack — above every
   golden detector — so the evaluation pipeline loses nothing; (ii) the
-  within-cover orderings in `docs/NSR_HOLDOUT_DIAGNOSIS.md` show the
-  trained stack extracts the statistic on unseen covers too; (iii) the
-  in-sample rows at n ∈ {{2, 3}}.  (The round-4 version of this note
-  cited the ns-r-B0 holdout row as "golden-beating"; that was wrong —
-  the committed row is 0.333 — and is corrected by the diagnosis doc.)
+  in-sample rows at n ∈ {{2, 3}} plus the in-sample detection shown in
+  the diagnosis doc.  (The round-4 version of this note cited the
+  ns-r-B0 holdout row as "golden-beating"; that was wrong — the
+  committed row is 0.333 — and is corrected by the diagnosis doc.)
 
 This remains the negative result VERDICT r3 scoped ("if the recipe
 genuinely tops out without BOSS/ImageNet, commit a negative-result note
@@ -278,7 +278,10 @@ with the ablation table"), now with the n-axis the r4 verdict asked for.
         (REPO / "README.md").write_text(head + pointer + tail)
 
 
-def main():
+def main(cpu: bool = False):
+    if cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     df = build_table()
     publish(df)
     print("ABL5-DONE", flush=True)
@@ -286,4 +289,4 @@ def main():
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    raise SystemExit(main(cpu="--cpu" in sys.argv))

@@ -219,11 +219,14 @@ Generated by `scripts/round5_unet_sweep.py` into
     print(f"wrote {DOC_OUT}")
 
 
-def main():
+def main(cpu: bool = False):
+    if cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     df = build()
     publish(df)
     return 0
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    raise SystemExit(main(cpu="--cpu" in sys.argv))
