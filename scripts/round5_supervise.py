@@ -31,7 +31,9 @@ CHAIN_PID = pathlib.Path("/tmp/round5_chain.pid")
 # end-game regen (~40 min in round 4) + bench.  Every sub-stage
 # checkpoints continuously and resumes from log markers, so a kill
 # loses nothing but the tail stage.
-CHAIN_CUTOFF_EPOCH = 1_787_132_700
+CHAIN_CUTOFF_EPOCH = 1_787_133_600  # 10:00 UTC (+15 min re-plan margin:
+# the end-game took ~40 min in round 4; this still leaves ~1.6 h before
+# the ~11:40 round end)
 
 STAGE_DONE = [f"STAGE-DONE {t}:" for t in TERMINAL]
 
