@@ -128,7 +128,7 @@ def main(results_dir=REPO / "results"):
                   f"{spec['model_name']}")
     df = holdout_roc(DATA, folds, results_dir=results_dir,
                      suffix="holdout", batch_size=8,
-                     filter_models=("AVG", "KB", "KB-w", "OLS"))
+                     filter_models=("AVG", "KB", "KB-w", "KB-sca", "OLS"))
     print(df.to_string())
 
 

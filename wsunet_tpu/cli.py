@@ -95,7 +95,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="stego methods to build curves for (e.g. HILLR)")
     p.add_argument("--alphas", nargs="+", type=float, default=[.1, .05, .01])
     p.add_argument("--models", nargs="+",
-                   default=["AVG", "KB", "KB-w", "UNet"])
+                   default=["AVG", "KB", "KB-w", "KB-sca", "UNet"])
     p.add_argument("--b0", action="store_true", help="include B0 detectors")
     p.add_argument("--b0-train-alpha", type=float, default=None,
                    help="registry filter on the B0 training alpha (labels "

@@ -6,7 +6,8 @@ from .filters import (
     filter_predict,
     filter_residuals,
 )
-from .ws import ws_attack, ws_estimate_unet, ws_estimate_inloss
+from .ws import (ws_attack, ws_attack_sca, ws_estimate_unet,
+                 ws_estimate_inloss)
 from .hill import hill_cost
 
 __all__ = [
@@ -17,6 +18,7 @@ __all__ = [
     "filter_predict",
     "filter_residuals",
     "ws_attack",
+    "ws_attack_sca",
     "ws_estimate_unet",
     "ws_estimate_inloss",
     "hill_cost",

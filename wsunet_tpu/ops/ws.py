@@ -90,6 +90,66 @@ def ws_attack(
     return beta_hat
 
 
+def ws_attack_sca(
+    x_u8: jnp.ndarray,
+    pixel_kernel=None,
+    pixel_estimator: typing.Callable = None,
+    frac: float = 0.05,
+) -> jnp.ndarray:
+    """Selection-channel-aware WS detector for cost-adaptive LSB
+    embedding (HILLr), [B, H, W] uint8 -> score [B].
+
+    Cost-adaptive embedders flip ONLY the lowest-HILL-cost pixels
+    (data/simulate.hillr_simulate measures the reference/conseal
+    semantics: exactly the round(alpha/2*N) cheapest pixels change), and
+    the attacker can recompute that cost map from the image under test —
+    the classic "selection channel" (Li et al. 2014 costs; cf. the
+    selection-channel-aware attacks of Denemark et al.).  The score is
+    the plain WS change-rate estimate RESTRICTED to the lowest-``frac``
+    cost fraction of the valid interior:
+
+        score = mean_{rho_i <= Q_frac(rho)} (x_i - xbar_i)(x_i - xhat_i)
+
+    For HILLr at change rate alpha/2 <= frac every flip lands inside the
+    region, so the score estimates (alpha/2)/frac — a 1/frac
+    amplification over the global WS estimate — while for covers it
+    concentrates around 0.  Unclipped (cover scores may go negative,
+    like ws_estimate_unet): this is a detector score, not a rate
+    estimate.  ``frac`` defaults to 0.05 = the largest alpha/2 on the
+    evaluated grid (alpha in {.01,.05,.1}, the golden detection table's
+    rates) so the region covers all flips at every evaluated rate.
+
+    PRE-COMMITMENT (leak-free protocol, docs/EVAL_PROTOCOL.md): the
+    statistic and frac=0.05 were chosen on non-fixture tuning images
+    (matplotlib sample data + synthetic sensor-like textures,
+    tests/test_sca_ws.py reproduces the mechanism check) BEFORE any
+    fixture score of this detector existed.
+
+    No reference counterpart: the reference's WS sweep
+    (src/ws/estimate.py) is selection-blind; this row is a framework
+    addition targeting the HILLR gap its detection table never covers.
+    """
+    x = x_u8.astype(jnp.float32)
+    x_bar = lsb_flip_u8(x_u8).astype(jnp.float32)
+    if pixel_estimator is None:
+        pixel_estimator = lambda v: filter_predict(v, pixel_kernel)
+    x_hat = pixel_estimator(x)
+    x1 = x[:, 1:-1, 1:-1]
+    x1_bar = x_bar[:, 1:-1, 1:-1]
+    s = (x1 - x1_bar) * (x1 - x_hat)
+
+    from .hill import hill_cost
+    rho = hill_cost(x, wet_cost=1e10)[:, 1:-1, 1:-1]
+    B = x.shape[0]
+    thresh = jnp.quantile(rho.reshape(B, -1), frac, axis=1)[:, None, None]
+    # <= keeps the threshold pixel itself; on a wet/flat plateau (ties at
+    # the quantile) the region grows past frac and the score degrades
+    # toward the global WS mean — defined and deterministic either way
+    low = rho <= thresh
+    return (jnp.sum(jnp.where(low, s, 0.0), axis=(1, 2))
+            / jnp.sum(low, axis=(1, 2)))
+
+
 def ws_estimate_unet(
     x: jnp.ndarray,
     x_hat: jnp.ndarray,

@@ -31,6 +31,7 @@ def attack_sweep(
     threads: int = 8,
     channel: int = None,
     pixel_estimator4: typing.Callable = None,
+    sca: bool = False,
 ) -> np.ndarray:
     """beta_hat for every catalog row, batched on device.
 
@@ -55,7 +56,7 @@ def attack_sweep(
     color = pixel_estimator4 is not None or channel not in (None, 3)
     use_fused = (
         kernel_name is not None and not correct_bias and not color and
-        jax.devices()[0].platform == "tpu")
+        not sca and jax.devices()[0].platform == "tpu")
 
     if use_fused:
         from ..ops.pallas_ws import ws_attack_fused
@@ -80,6 +81,10 @@ def attack_sweep(
         def step(pixels):
             x = pixels if pixels.ndim == 3 else \
                 pixels[..., channel if channel is not None else 3]
+            if sca:
+                from ..ops import ws_attack_sca
+                return ws_attack_sca(x, pixel_kernel=pixel_kernel,
+                                     pixel_estimator=pixel_estimator)
             return ws_attack(
                 x, pixel_kernel=pixel_kernel,
                 pixel_estimator=pixel_estimator,
@@ -136,6 +141,12 @@ def run(
         # detector row it dominates it (fixture LSBR AUC 1.0 vs 0.733
         # for uniform KB) while staying weight-free and leak-free.
         weighted_label, model_name, weighted = model_name, model_name[:-2], 1
+    sca = False
+    if model_name.endswith("-sca") and model_name[:-4] in NAMED_FILTERS_2D:
+        # '<FILTER>-sca' = the selection-channel-aware restricted WS
+        # score (ops.ws_attack_sca) targeting cost-adaptive embedding
+        # (HILLr); weight-free and leak-free like '-w'.
+        weighted_label, model_name, sca = model_name, model_name[:-4], True
     if model_name in NAMED_FILTERS_2D:
         kernel, estimator = NAMED_FILTERS_2D[model_name], None
         kernel_name = model_name
@@ -185,7 +196,7 @@ def run(
         input_dir, df, pixel_kernel=kernel, pixel_estimator=estimator,
         kernel_name=kernel_name, weighted=weighted,
         correct_bias=correct_bias, batch_size=batch_size, threads=threads,
-        channel=channel, pixel_estimator4=estimator4)
+        channel=channel, pixel_estimator4=estimator4, sca=sca)
 
     res = df.reset_index(drop=True).copy()
     res["beta_hat"] = betas
