@@ -168,15 +168,16 @@ def stage_unet_lsbr_folda_w():
 
 
 def stage_unet_lsbr_foldb_w():
-    # TIME-BUDGET TRIM (decided 2026-08-19 04:50 UTC, BEFORE any
-    # anchor-recipe holdout score existed — the recipe pre-commitment
-    # above is about not fitting model choice to the eval covers, and a
-    # budget trim made score-blind keeps that property): measured epoch
-    # rate on the live chip is ~60 s, so two full 120-epoch pretrains +
-    # the ablation stages do not fit the round.  Fold B pretrains for
-    # 90 cosine epochs instead of fold A's 120; the 512^2 fine-tune is
-    # identical.  Recorded in docs/UNET_RECIPE_SWEEP.md.
-    unet_anchor({**FOLD_B, "num_epochs": 90}, "unet-lsbr-foldb-w")
+    # TIME-BUDGET TRIM (decided 2026-08-19 04:50 UTC, revised 06:15,
+    # BEFORE any anchor-recipe holdout score existed — the recipe
+    # pre-commitment above is about not fitting model choice to the
+    # eval covers, and a budget trim made score-blind keeps that
+    # property): the measured epoch rate under host-pipeline contention
+    # is ~95 s, so a second full 120-epoch pretrain does not fit the
+    # round.  Fold B pretrains for 60 cosine epochs instead of fold A's
+    # 120; the 512^2 fine-tune is identical.  Recorded in
+    # docs/UNET_RECIPE_SWEEP.md.
+    unet_anchor({**FOLD_B, "num_epochs": 60}, "unet-lsbr-foldb-w")
 
 
 def stage_abl_p16():
@@ -195,21 +196,24 @@ def stage_abl_p64():
     patch_curriculum(128, "abl-p64")
 
 
-# ORDER (re-planned 2026-08-19 ~04:50 UTC mid-round against measured
-# stage costs: UNet anchor stage ~2.2 h, B0 patch curriculum ~1-1.3 h,
-# ~5 h to the chain cutoff): the ablation stages are interleaved with
-# the UNet folds so VERDICT items 3 AND 4 both land even if the tail of
-# the chain is cut — the original order spent the whole budget on the
-# two UNet folds and would have delivered nothing for item 3.  HILLR
-# fine-tunes remain last: they depend on both LSBR folds and are the
-# explicit sacrifice if the clock runs out (VERDICT item 5's fallback
-# is a documented negative result).
-STAGES = [stage_unet_lsbr_folda_w, stage_abl_p16,
-          stage_unet_lsbr_foldb_w, stage_abl_p64,
+# ORDER (re-planned 2026-08-19 ~04:50 UTC, revised 06:15, against
+# measured stage costs: UNet anchor stage ~2.2-3 h under host-pipeline
+# contention, B0 patch curriculum ~1-1.3 h, and only ~2 h of chain
+# budget left after fold A): both ablation stages run before fold B so
+# VERDICT item 3 gets its FULL n-axis (n in {2,3,4,16,64}) even though
+# the tail of the chain is cut — item 4 still lands through fold A's
+# anchor rows + the sweep/bound doc (scripts/round5_unet_sweep.py
+# handles a missing fold B).  HILLR fine-tunes remain last: they depend
+# on the LSBR folds and are the explicit sacrifice when the clock runs
+# out (VERDICT item 5's fallback is the documented negative result +
+# the KB-sca selection-channel-aware row, docs/SCA_WS.md).
+STAGES = [stage_unet_lsbr_folda_w, stage_abl_p16, stage_abl_p64,
+          stage_unet_lsbr_foldb_w,
           stage_unet_hillr_folda_w, stage_unet_hillr_foldb_w]
 
-TERMINAL = ["unet-lsbr-folda-w", "abl-p16", "unet-lsbr-foldb-w",
-            "abl-p64", "unet-hillr-folda-w", "unet-hillr-foldb-w"]
+TERMINAL = ["unet-lsbr-folda-w", "abl-p16", "abl-p64",
+            "unet-lsbr-foldb-w",
+            "unet-hillr-folda-w", "unet-hillr-foldb-w"]
 
 
 def main(start: int = 0) -> int:

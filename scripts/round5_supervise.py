@@ -31,9 +31,9 @@ CHAIN_PID = pathlib.Path("/tmp/round5_chain.pid")
 # end-game regen (~40 min in round 4) + bench.  Every sub-stage
 # checkpoints continuously and resumes from log markers, so a kill
 # loses nothing but the tail stage.
-CHAIN_CUTOFF_EPOCH = 1_787_133_600  # 10:00 UTC (+15 min re-plan margin:
-# the end-game took ~40 min in round 4; this still leaves ~1.6 h before
-# the ~11:40 round end)
+CHAIN_CUTOFF_EPOCH = 1_787_134_800  # 10:20 UTC. The session driving
+# this round restarted ~04:14, so the effective round end is ~12:10;
+# the end-game took ~40 min in round 4, leaving ~1 h of margin.
 
 STAGE_DONE = [f"STAGE-DONE {t}:" for t in TERMINAL]
 
