@@ -113,18 +113,23 @@ def main(results: bool = True) -> int:
     # regen is TPU-bound when the relay is up; pin to CPU when it is not
     # so the unattended end-game always terminates (cf. round4_finish)
     from wsunet_tpu.bench import _tpu_reachable
+    cpu_flag = []
     if not _tpu_reachable():
         import jax
         print("finish: relay down; regenerating on CPU", flush=True)
         jax.config.update("jax_platforms", "cpu")
+        # the sub-scripts are separate processes: without --cpu they
+        # would hang on axon backend init while the relay is down
+        cpu_flag = ["--cpu"]
     from scripts.round3_holdout import main as holdout_main
     holdout_main()
     prc = subprocess.call([sys.executable, "scripts/round4_publish.py"],
                           cwd=REPO)
-    arc = subprocess.call([sys.executable, "scripts/round5_ablation.py"],
-                          cwd=REPO)
-    urc = subprocess.call([sys.executable, "scripts/round5_unet_sweep.py"],
-                          cwd=REPO)
+    arc = subprocess.call(
+        [sys.executable, "scripts/round5_ablation.py", *cpu_flag], cwd=REPO)
+    urc = subprocess.call(
+        [sys.executable, "scripts/round5_unet_sweep.py", *cpu_flag],
+        cwd=REPO)
     print(f"finish: publish rc={prc} ablation rc={arc} unet-sweep rc={urc}",
           flush=True)
     return prc or arc or urc
