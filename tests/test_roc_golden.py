@@ -149,3 +149,25 @@ def test_weighted_kb_detector_row(data_root):
     # not decay the headline silently)
     assert roc["auc"].iloc[0] == 1.0
     assert roc["p_e"].iloc[0] == 0.0
+
+
+def test_sca_detector_hillr_high_alpha_rows(data_root):
+    """Pin the KB-sca HILLr headline (docs/SCA_WS.md): the
+    selection-channel-aware row separates PERFECTLY at alpha in
+    {0.05, 0.1} on the fixture, where plain KB-w drops to 0.9 at 0.05.
+    alpha=0.01 is deliberately NOT pinned (documented open bound)."""
+    frames = []
+    for stego_method in [None, "HILLR"]:
+        for alpha in ([0.1, 0.05] if stego_method else [None]):
+            frames.append(ws_run(
+                input_dir=data_root, stego_method=stego_method,
+                alpha=alpha, model_name="KB-sca"))
+    res = pd.concat(frames).reset_index(drop=True)
+    assert set(res["model_name"]) == {"KB-sca"}
+    res["stego_method"] = res["stego_method"].fillna("Cover")
+    res["alpha"] = res["alpha"].fillna(0.0)
+    for alpha in (0.1, 0.05):
+        sub = res[(res.stego_method == "Cover") | (res.alpha == alpha)]
+        roc = produce_roc(sub)
+        assert roc["auc"].iloc[0] == 1.0, alpha
+        assert roc["p_e"].iloc[0] == 0.0, alpha
