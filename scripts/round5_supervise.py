@@ -31,9 +31,11 @@ CHAIN_PID = pathlib.Path("/tmp/round5_chain.pid")
 # end-game regen (~40 min in round 4) + bench.  Every sub-stage
 # checkpoints continuously and resumes from log markers, so a kill
 # loses nothing but the tail stage.
-CHAIN_CUTOFF_EPOCH = 1_787_134_800  # 10:20 UTC. The session driving
-# this round restarted ~04:14, so the effective round end is ~12:10;
-# the end-game took ~40 min in round 4, leaving ~1 h of margin.
+CHAIN_CUTOFF_EPOCH = 1_787_143_200  # 12:40 UTC. A third round-5
+# session took over at ~07:02 with ~8 h of budget (round end ~15:00);
+# the end-game took ~40 min in round 4, so 12:40 leaves >2 h of margin.
+# This is a backstop — the session itself watches the chain and can
+# kill it earlier if the round end moves up.
 
 STAGE_DONE = [f"STAGE-DONE {t}:" for t in TERMINAL]
 

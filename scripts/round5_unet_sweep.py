@@ -195,6 +195,16 @@ end-of-schedule checkpoints, per the leak-free protocol
 Context the reference sets: the golden UNet trained on **BOSS
 (10,000 covers)**; these folds train on 2-3 fixture covers.
 
+One pre-committed asymmetry, decided mid-round on measured wall-clock
+(chain epoch rate ~60-95 s under host contention) and BEFORE any
+anchor-recipe holdout score existed: fold A pretrains for 120 cosine
+epochs (115 completed — the 06:38 UTC relay hang froze the trainer at
+epoch 115/120 with val loss flat since ~epoch 105, and the best
+checkpoint was accepted rather than repeating the 2 h stage), fold B
+for 60; the 512² fine-tune stage is identical (scripts/round5_chain.py,
+stage_unet_lsbr_foldb_w).  Neither schedule was selected by any
+eval-cover score.
+
 ## Results
 
 {hdr}
