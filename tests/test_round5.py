@@ -75,3 +75,53 @@ def test_hillr_seed_requires_finished_lsbr_stage(monkeypatch, tmp_path):
     monkeypatch.setattr(chain, "LOG", tmp_path / "nope.log")
     with pytest.raises(RuntimeError, match="no finished run"):
         chain._hillr_seed("unet-lsbr-folda-w")
+
+
+def _abl_df():
+    import pandas as pd
+    rows = []
+    pts = {2: (1.000, 0.667), 3: (0.852, 0.583), 4: (0.688, 0.667),
+           16: (0.900, 0.700), 64: (0.950, 0.750)}
+    for n, (ins, hold) in pts.items():
+        for kind, auc in (("in-sample", ins), ("holdout", hold)):
+            rows.append(dict(
+                n_train_covers=n, train_covers=f"{{{n}c}}",
+                eval_covers="{10}", eval_kind=kind, run=f"run-{n}",
+                auc=auc, p_e=0.2, auc_lo=max(0.0, auc - 0.3),
+                auc_hi=min(1.0, auc + 0.3), auc_a001=auc,
+                p_e_a001=0.2, source="test"))
+    return pd.DataFrame(rows)
+
+
+def test_ablation_doc_prose_follows_the_table(tmp_path, monkeypatch):
+    """The r4 verdict dinged B0_DATA_BOUND twice for prose contradicting
+    its own table; the round-5 publisher derives the contrast sentences
+    FROM the dataframe, so a changed table changes the prose with it."""
+    abl = _load("round5_ablation")
+    monkeypatch.setattr(abl, "DOC_OUT", tmp_path / "doc.md")
+    monkeypatch.setattr(abl, "REPO", tmp_path)
+    (tmp_path / "README.md").write_text("no markers here\n")
+    monkeypatch.setattr(abl, "_golden_b0", lambda: (0.880, 0.200))
+
+    df = _abl_df()
+    abl.publish(df)
+    doc = (tmp_path / "doc.md").read_text()
+    assert "n=2: 1.000 in-sample vs 0.667 holdout" in doc
+    assert "n=3: 0.852 in-sample vs 0.583 holdout" in doc
+    # n=4 synthetic row: in-sample ~ holdout, CI spans chance -> the
+    # inconclusive reading, quoting the row's own numbers
+    assert "n=4 point is inconclusive" in doc
+    assert "0.688 in-sample vs 0.667 holdout" in doc
+    # README without markers is left untouched
+    assert (tmp_path / "README.md").read_text() == "no markers here\n"
+
+    # a table where n=4 separates cleanly flips the prose
+    df2 = df.copy()
+    df2.loc[(df2.n_train_covers == 4) & (df2.eval_kind == "in-sample"),
+            "auc"] = 0.99
+    df2.loc[(df2.n_train_covers == 4) & (df2.eval_kind == "holdout"),
+            ["auc", "auc_lo", "auc_hi"]] = [0.70, 0.55, 0.85]
+    abl.publish(df2)
+    doc2 = (tmp_path / "doc.md").read_text()
+    assert "n=4 point now shows the same contrast" in doc2
+    assert "0.990 in-sample vs 0.700 holdout" in doc2
