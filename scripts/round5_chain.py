@@ -85,12 +85,20 @@ def _mark(tag: str, run: str) -> str:
     return run
 
 
+def _train_unet_name(cfg) -> str:
+    """_train_unet returns the experiment dir Path; markers must carry
+    the bare run NAME (the only form _find_run/_done can resolve — a
+    full-path marker made the 07:32 incremental swap silently skip
+    fold A)."""
+    return pathlib.Path(_train_unet(cfg)).name
+
+
 def unet_anchor(fold, tag):
     """Crop-320 pretraining under the anchor loss, then 512^2 fine-tune."""
     base = {**L1WS, **fold, "weighted_loss": True}
-    s1 = _done(f"{tag}-s1") or _train_unet(base)
+    s1 = _done(f"{tag}-s1") or _train_unet_name(base)
     _mark(f"{tag}-s1", s1)
-    ft = _done(tag) or _train_unet({**base, **FULLRES_FT, "resume": s1})
+    ft = _done(tag) or _train_unet_name({**base, **FULLRES_FT, "resume": s1})
     return _mark(tag, ft)
 
 
@@ -112,10 +120,10 @@ def _hillr_seed(tag_lsbr):
 def unet_hillr(fold, tag, tag_lsbr):
     parent = _hillr_seed(tag_lsbr)
     base = {**L1WS, **fold, "weighted_loss": True, "stego_method": "HILLR"}
-    s1 = _done(f"{tag}-s1") or _train_unet(
+    s1 = _done(f"{tag}-s1") or _train_unet_name(
         {**base, "num_epochs": 60, "learning_rate": 5e-5, "resume": parent})
     _mark(f"{tag}-s1", s1)
-    ft = _done(tag) or _train_unet(
+    ft = _done(tag) or _train_unet_name(
         {**base, **FULLRES_FT, "num_epochs": 15, "resume": s1})
     return _mark(tag, ft)
 

@@ -125,3 +125,21 @@ def test_ablation_doc_prose_follows_the_table(tmp_path, monkeypatch):
     doc2 = (tmp_path / "doc.md").read_text()
     assert "n=4 point now shows the same contrast" in doc2
     assert "0.990 in-sample vs 0.700 holdout" in doc2
+
+
+def test_unet_stage_markers_carry_run_names_not_paths(tmp_path, monkeypatch,
+                                                      capsys):
+    """_train_unet returns the experiment-dir Path; the 07:32 UTC
+    incremental swap silently skipped fold A because its terminal marker
+    carried the full path, which _find_run cannot resolve.  unet_anchor
+    must log bare run names."""
+    chain = _load("round5_chain")
+    run_dir = tmp_path / "unet/LSBR/260819-test-run_"
+    run_dir.mkdir(parents=True)
+    monkeypatch.setattr(chain, "LOG", tmp_path / "chain.log")
+    monkeypatch.setattr(chain, "_train_unet", lambda cfg: run_dir)
+    out = chain.unet_anchor({"num_epochs": 1}, "unet-lsbr-folda-w")
+    assert out == "260819-test-run_"
+    logged = capsys.readouterr().out
+    assert "STAGE-DONE unet-lsbr-folda-w: 260819-test-run_" in logged
+    assert str(tmp_path) not in logged
