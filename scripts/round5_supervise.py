@@ -62,6 +62,22 @@ def relay_up() -> bool:
     return _tpu_reachable()
 
 
+# The chain logs an epoch line at least every ~100 s while healthy; the
+# longest legitimately quiet phases (first B0/UNet compile, BN
+# recalibration, checkpoint writes) are < 5 min.  A wedged axon
+# connection (2026-08-19: twice) blocks forever without dying, which
+# chain_alive() cannot see — so treat a long-silent log as a hang.
+CHAIN_QUIET_LIMIT_S = 600
+
+
+def chain_stalled() -> bool:
+    try:
+        age = time.time() - LOG.stat().st_mtime
+    except OSError:
+        return False
+    return age > CHAIN_QUIET_LIMIT_S
+
+
 def kill_chain_tree() -> None:
     try:
         pid = int(CHAIN_PID.read_text().strip())
@@ -185,6 +201,13 @@ def main() -> int:
             note("chain complete; running the end-game")
             return endgame()
         if chain_alive():
+            if chain_stalled():
+                note(f"chain log silent > {CHAIN_QUIET_LIMIT_S}s with the "
+                     "process alive — wedged axon connection; killing the "
+                     "chain tree (stages resume from markers)")
+                kill_chain_tree()
+                # fall through: next iteration sees the chain dead and
+                # relaunches once the relay passes the compute probe
             time.sleep(60)
             continue
         if time.time() > CHAIN_CUTOFF_EPOCH:

@@ -143,3 +143,20 @@ def test_unet_stage_markers_carry_run_names_not_paths(tmp_path, monkeypatch,
     logged = capsys.readouterr().out
     assert "STAGE-DONE unet-lsbr-folda-w: 260819-test-run_" in logged
     assert str(tmp_path) not in logged
+
+
+def test_supervisor_detects_wedged_chain_by_log_age(tmp_path, monkeypatch):
+    """A wedged axon connection leaves the chain alive-but-silent, which
+    chain_alive() cannot see; the supervisor treats a long-quiet log as
+    a hang (2026-08-19 relay outages wedged the chain twice)."""
+    import os
+    import time as _time
+    sup = _load("round5_supervise")
+    log = tmp_path / "chain.log"
+    monkeypatch.setattr(sup, "LOG", log)
+    assert not sup.chain_stalled()          # no log yet -> not stalled
+    log.write_text("Epoch: [1]\n")
+    assert not sup.chain_stalled()          # fresh log -> healthy
+    old = _time.time() - sup.CHAIN_QUIET_LIMIT_S - 5
+    os.utime(log, (old, old))
+    assert sup.chain_stalled()              # silent past the limit

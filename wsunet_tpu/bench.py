@@ -286,8 +286,26 @@ def _tpu_reachable() -> bool:
         return True  # no TPU plugin at all; let jax pick its default
     try:
         with socket.create_connection(("127.0.0.1", 8082), 2):
-            return True
+            pass
     except OSError:
+        return False
+    # An open port is necessary but not sufficient: the 2026-08-19 relay
+    # outage kept the local listener accepting (device enumeration
+    # worked) while the remote compute path was dead, so the first
+    # execution blocked forever.  Probe a tiny real computation in a
+    # throwaway subprocess with a timeout — a wedged axon connection
+    # never recovers in-process, so the probe must not run here.
+    import subprocess
+    import sys
+    try:
+        env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+        p = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; "
+             "print(float(jnp.ones((8, 8)).sum()))"],
+            capture_output=True, timeout=120, text=True, env=env)
+        return p.returncode == 0 and "64.0" in p.stdout
+    except (subprocess.TimeoutExpired, OSError):
         return False
 
 
