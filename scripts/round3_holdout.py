@@ -133,4 +133,7 @@ def main(results_dir=REPO / "results"):
 
 
 if __name__ == "__main__":
+    if "--cpu" in sys.argv:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     main()

@@ -105,34 +105,51 @@ def do_swaps() -> None:
                  "models_foldb/unet/*/*/config.json"])
 
 
+def _step(script: str, cpu: bool, timeout_s: int,
+          cpu_retry_timeout_s: int = None) -> int:
+    """Run one regen script as a bounded subprocess.  The axon relay can
+    wedge MID-RUN (port open, compute dead — 2026-08-19, twice), which
+    an in-process call would turn into an endgame that never finishes;
+    on timeout or failure the step retries once pinned to CPU."""
+    args = [sys.executable, script] + (["--cpu"] if cpu else [])
+    try:
+        rc = subprocess.call(args, cwd=REPO, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        print(f"finish: {script} timed out after {timeout_s}s", flush=True)
+        rc = -9
+    if rc and not cpu and cpu_retry_timeout_s:
+        print(f"finish: {script} rc={rc}; retrying on CPU", flush=True)
+        try:
+            rc = subprocess.call([sys.executable, script, "--cpu"],
+                                 cwd=REPO, timeout=cpu_retry_timeout_s)
+        except subprocess.TimeoutExpired:
+            print(f"finish: {script} CPU retry timed out", flush=True)
+            rc = -9
+    return rc
+
+
 def main(results: bool = True) -> int:
     rc = subprocess.call([sys.executable, __file__, "--swap-only"],
                          cwd=REPO)
     if rc or not results:
         return rc
     # regen is TPU-bound when the relay is up; pin to CPU when it is not
-    # so the unattended end-game always terminates (cf. round4_finish)
+    # so the unattended end-game always terminates (cf. round4_finish).
+    # _tpu_reachable probes an actual computation, so a wedged-at-start
+    # relay lands on CPU immediately; mid-run wedges hit the per-step
+    # timeouts and CPU retries in _step.
     from wsunet_tpu.bench import _tpu_reachable
-    cpu_flag = []
-    if not _tpu_reachable():
-        import jax
+    cpu = not _tpu_reachable()
+    if cpu:
         print("finish: relay down; regenerating on CPU", flush=True)
-        jax.config.update("jax_platforms", "cpu")
-        # the sub-scripts are separate processes: without --cpu they
-        # would hang on axon backend init while the relay is down
-        cpu_flag = ["--cpu"]
-    from scripts.round3_holdout import main as holdout_main
-    holdout_main()
+    hrc = _step("scripts/round3_holdout.py", cpu, 2700, 5400)
     prc = subprocess.call([sys.executable, "scripts/round4_publish.py"],
-                          cwd=REPO)
-    arc = subprocess.call(
-        [sys.executable, "scripts/round5_ablation.py", *cpu_flag], cwd=REPO)
-    urc = subprocess.call(
-        [sys.executable, "scripts/round5_unet_sweep.py", *cpu_flag],
-        cwd=REPO)
-    print(f"finish: publish rc={prc} ablation rc={arc} unet-sweep rc={urc}",
-          flush=True)
-    return prc or arc or urc
+                          cwd=REPO)  # CSV splicing only; no device work
+    arc = _step("scripts/round5_ablation.py", cpu, 2700, 5400)
+    urc = _step("scripts/round5_unet_sweep.py", cpu, 2700, 5400)
+    print(f"finish: holdout rc={hrc} publish rc={prc} ablation rc={arc} "
+          f"unet-sweep rc={urc}", flush=True)
+    return hrc or prc or arc or urc
 
 
 if __name__ == "__main__":

@@ -160,3 +160,21 @@ def test_supervisor_detects_wedged_chain_by_log_age(tmp_path, monkeypatch):
     old = _time.time() - sup.CHAIN_QUIET_LIMIT_S - 5
     os.utime(log, (old, old))
     assert sup.chain_stalled()              # silent past the limit
+
+
+def test_finisher_step_times_out_and_retries_on_cpu(tmp_path, monkeypatch):
+    """A mid-run relay wedge must not hang the unattended end-game: the
+    step subprocess is killed at its timeout and retried with --cpu."""
+    fin = _load("round5_finish")
+    script = tmp_path / "step.py"
+    script.write_text(
+        "import sys, time\n"
+        "if '--cpu' in sys.argv:\n"
+        "    sys.exit(0)\n"
+        "time.sleep(60)\n")
+    monkeypatch.setattr(fin, "REPO", tmp_path)
+    rc = fin._step(str(script), cpu=False, timeout_s=2,
+                   cpu_retry_timeout_s=30)
+    assert rc == 0  # TPU attempt killed at 2s; CPU retry succeeded
+    rc2 = fin._step(str(script), cpu=True, timeout_s=2)
+    assert rc2 == 0  # cpu=True passes --cpu on the first attempt
