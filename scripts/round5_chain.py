@@ -117,14 +117,15 @@ def _hillr_seed(tag_lsbr):
     return parent
 
 
-def unet_hillr(fold, tag, tag_lsbr):
+def unet_hillr(fold, tag, tag_lsbr, s1_epochs=60, ft_epochs=15):
     parent = _hillr_seed(tag_lsbr)
     base = {**L1WS, **fold, "weighted_loss": True, "stego_method": "HILLR"}
     s1 = _done(f"{tag}-s1") or _train_unet_name(
-        {**base, "num_epochs": 60, "learning_rate": 5e-5, "resume": parent})
+        {**base, "num_epochs": s1_epochs, "learning_rate": 5e-5,
+         "resume": parent})
     _mark(f"{tag}-s1", s1)
     ft = _done(tag) or _train_unet_name(
-        {**base, **FULLRES_FT, "num_epochs": 15, "resume": s1})
+        {**base, **FULLRES_FT, "num_epochs": ft_epochs, "resume": s1})
     return _mark(tag, ft)
 
 
@@ -193,7 +194,15 @@ def stage_abl_p16():
 
 
 def stage_unet_hillr_folda_w():
-    unet_hillr(FOLD_A, "unet-hillr-folda-w", "unet-lsbr-folda-w")
+    # TIME-BUDGET TRIM (decided 2026-08-19 ~08:50 UTC, score-blind — no
+    # holdout score of any round-5 run has been read): the projected
+    # fold-B finish (~11:40) leaves ~60 min before the 12:40 cutoff; at
+    # the measured ~75 s/epoch under host contention, the committed
+    # 60+15-epoch HILLR fine-tune cannot finish, so it runs 40+10.  A
+    # one-shot watcher (scripts/round5_hillr_watch.py) bounces the chain
+    # at the fold-B boundary so this trimmed schedule is actually loaded.
+    unet_hillr(FOLD_A, "unet-hillr-folda-w", "unet-lsbr-folda-w",
+               s1_epochs=40, ft_epochs=10)
 
 
 def stage_unet_hillr_foldb_w():
