@@ -186,11 +186,24 @@ def publish(df):
                      "evidence of capacity headroom on its own (r4 "
                      "advisor finding) — the capacity claim rests on "
                      "n ∈ {2, 3} and on the diagnosis below.")
-    n_max = int(hold.index.max())
-    trend = ("rises toward the golden number"
-             if (n_max > 4 and hold.loc[n_max, "auc"]
-                 >= hold.loc[[2, 3], "auc"].max() + 0.15)
-             else "stays flat within its confidence intervals")
+    patch = hold[hold.index > 4]
+    small_max = float(hold.loc[[2, 3], "auc"].max())
+    trend = "stays flat within its confidence intervals"
+    if len(patch):
+        best_n = int(patch["auc"].idxmax())
+        best_auc = float(patch.loc[best_n, "auc"])
+        best_pe = float(patch.loc[best_n, "p_e"])
+        if best_auc >= small_max + 0.15:
+            sat = ""
+            if best_pe >= 0.4:
+                sat = (" — by score RANK on the single holdout cover; "
+                       f"its P_E {best_pe:.2f} shows the scores are "
+                       "saturated near a constant (the confidence-"
+                       "collapse mode of docs/NSR_HOLDOUT_DIAGNOSIS.md), "
+                       "so the lift is a ranking signal, not an "
+                       "operating point")
+            trend = (f"lifts at the patch points (best: n={best_n}, "
+                     f"AUC {best_auc:.3f}{sat})")
 
     hdr = ("| train covers (n) | trained on | scored on | AUC | "
            "AUC 95% CI | P_E | AUC (α=0.01 only) |\n"
@@ -236,7 +249,11 @@ cover images:
 
 Pooled-α semantics match the golden artifact (α ∈ {{.1,.05,.01}});
 generated by `scripts/round5_ablation.py` into
-`results/detection/b0_data_bound.csv`.
+`results/detection/b0_data_bound.csv`.  The n ≥ 4 points score on a
+SINGLE untouched cover (one cover + three stego images per point), so
+their pooled AUC moves in steps of 1/3 and the bootstrap CIs are
+correspondingly coarse — read the n-axis as a trend, not as point
+estimates.
 
 ## Out-of-sample (held-out covers) — the honest row
 
@@ -262,11 +279,12 @@ Golden reference: AUC **{g_auc:.3f}** / P_E {g_pe:.3f} — trained on
   while failing to carry it to unseen ones.{n4txt}
 - **In-sample AUC under the FIXED step budget** ({ins_curve}): every
   point trains the same number of steps regardless of n (the committed
-  curriculum is byte-identical), so in-sample decline as n grows is the
-  expected fit-per-image dilution of a fixed budget, not a capacity
-  ceiling measurement — which is why the capacity claim above leans on
-  the small-n points, where the budget saturates the training set (r4
-  verdict, weak item 2).
+  curriculum is byte-identical), so in-sample movement as n grows
+  reflects the budget's per-image fit dilution (and, at the patch
+  points, the same score saturation visible in the holdout P_E column),
+  not a capacity ceiling measurement — which is why the capacity claim
+  above leans on the small-n points, where the budget saturates the
+  training set (r4 verdict, weak item 2).
 - **Generalization across cover content is the bound.**  The companion
   diagnosis `docs/NSR_HOLDOUT_DIAGNOSIS.md` shows the strongest
   detector variant (oracle-plane ns-r-B0) detects cleanly in-sample but
@@ -299,9 +317,11 @@ with the ablation table"), now with the n-axis the r4 verdict asked for.
         big = hold[hold.index > 4]
         bigtxt = ""
         if len(big):
-            n_big = int(big.index.max())
-            bigtxt = (f" extending n to {n_big} via patch covers reaches "
-                      f"{float(big.loc[n_big, 'auc']):.3f}")
+            n_big = int(big["auc"].idxmax())
+            bigtxt = (f" extending n via patch covers reaches AUC "
+                      f"{float(big.loc[n_big, 'auc']):.3f} "
+                      f"(P_E {float(big.loc[n_big, 'p_e']):.2f}) "
+                      f"at n={n_big}")
         pointer = (
             f"{start}\nThe remaining sub-golden trained row (plain B0 "
             f"{g_auc:.3f} golden vs fixture-trained) is **data-bound, "

@@ -176,5 +176,37 @@ def test_finisher_step_times_out_and_retries_on_cpu(tmp_path, monkeypatch):
     rc = fin._step(str(script), cpu=False, timeout_s=2,
                    cpu_retry_timeout_s=30)
     assert rc == 0  # TPU attempt killed at 2s; CPU retry succeeded
-    rc2 = fin._step(str(script), cpu=True, timeout_s=2)
+    rc2 = fin._step(str(script), cpu=True, timeout_s=60)
     assert rc2 == 0  # cpu=True passes --cpu on the first attempt
+
+
+def test_ablation_trend_prose_covers_rank_lift_and_saturation(tmp_path,
+                                                              monkeypatch):
+    """The out-of-sample trend sentence must follow the best PATCH point
+    (not just n_max) and flag a rank-only lift when its P_E shows
+    saturated scores."""
+    abl = _load("round5_ablation")
+    monkeypatch.setattr(abl, "DOC_OUT", tmp_path / "doc.md")
+    monkeypatch.setattr(abl, "REPO", tmp_path)
+    (tmp_path / "README.md").write_text("x\n<!-- b0-bound:start -->\n"
+                                        "old\n<!-- b0-bound:end -->\ny\n")
+    monkeypatch.setattr(abl, "_golden_b0", lambda: (0.880, 0.200))
+
+    df = _abl_df()
+    # n=16 rank-perfect but saturated (P_E 0.5); n=64 modest
+    m16h = (df.n_train_covers == 16) & (df.eval_kind == "holdout")
+    df.loc[m16h, ["auc", "auc_lo", "auc_hi", "p_e"]] = [1.0, 1.0, 1.0, 0.5]
+    abl.publish(df)
+    doc = (tmp_path / "doc.md").read_text()
+    assert "lifts at the patch points (best: n=16, AUC 1.000" in doc
+    assert "P_E 0.50 shows the scores are saturated" in doc
+    readme = (tmp_path / "README.md").read_text()
+    assert "AUC 1.000 (P_E 0.50) at n=16" in readme
+
+    # clean lift (P_E low) -> no saturation caveat
+    df.loc[m16h, "p_e"] = 0.0
+    abl.publish(df)
+    doc2 = (tmp_path / "doc.md").read_text()
+    assert "lifts at the patch points (best: n=16, AUC 1.000)" in doc2
+    assert "saturated" not in doc2.split("## Reading")[1].split("**The")[0] \
+        or "saturated near a constant" not in doc2
