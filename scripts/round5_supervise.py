@@ -31,11 +31,12 @@ CHAIN_PID = pathlib.Path("/tmp/round5_chain.pid")
 # end-game regen (~40 min in round 4) + bench.  Every sub-stage
 # checkpoints continuously and resumes from log markers, so a kill
 # loses nothing but the tail stage.
-CHAIN_CUTOFF_EPOCH = 1_787_143_200  # 12:40 UTC. A third round-5
-# session took over at ~07:02 with ~8 h of budget (round end ~15:00);
-# the end-game took ~40 min in round 4, so 12:40 leaves >2 h of margin.
-# This is a backstop — the session itself watches the chain and can
-# kill it earlier if the round end moves up.
+CHAIN_CUTOFF_EPOCH = 1_787_141_880  # 12:18 UTC (was 12:40): five of six
+# stages finished by 12:12; the last (HILLR fold B, 60+15 epochs) cannot
+# complete before any viable cutoff, so its partial training is pure
+# discard — cutting now starts the end-game ~25 min earlier, which is
+# exactly the margin the holdout regen's worst case (TPU step timeout ->
+# CPU retry) needs before the ~15:00 round end.
 
 STAGE_DONE = [f"STAGE-DONE {t}:" for t in TERMINAL]
 
